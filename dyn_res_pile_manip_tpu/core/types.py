@@ -1,0 +1,138 @@
+"""Core pytree types for the TPU-native PBD simulator.
+
+These replace the reference's global-state C++ runtime buffers
+(PyFleX/bindings/pyflex.cpp:543-1010 SimBuffers) with immutable JAX pytrees:
+arrays live on device, there is no map/unmap choreography, and a simulation
+step is a pure function SimState -> SimState.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class SimParams(struct.PyTreeNode):
+    """Solver parameters (subset of NvFlexParams actually exercised by the
+    granular scenes; semantics from PyFleX/include/NvFlex.h:95-154 and the
+    yx_carrots scene defaults, PyFleX/bindings/scenes/yx_carrots.h:107-120).
+
+    Auto-derived values follow pyflex.cpp's Init defaults: for granular
+    scenes solid_rest_distance = radius and collision_distance =
+    0.5 * radius when unset.
+    """
+
+    radius: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.075))
+    static_friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    dynamic_friction: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.9))
+    restitution: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.2))
+    damping: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.14))
+    shock_propagation: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(6.0))
+    sleep_threshold: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.075 * 0.25))
+    collision_distance: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.075 * 0.5))
+    particle_collision_margin: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.075 * 0.25))
+    shape_collision_margin: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.075 * 0.25))
+    relaxation_factor: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+    rigid_stiffness: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.8))
+    max_speed: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1e6))
+    gravity_y: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(-9.8))
+    # structural (static under jit)
+    dt: float = struct.field(pytree_node=False, default=1.0 / 60.0)
+    num_substeps: int = struct.field(pytree_node=False, default=2)
+    num_iterations: int = struct.field(pytree_node=False, default=12)
+
+    @classmethod
+    def granular(cls, radius: float = 0.075, static_friction: float = 1.0,
+                 dynamic_friction: float = 0.9, **kw) -> "SimParams":
+        """Granular-pile defaults (yx_carrots.h:107-120)."""
+        r = float(radius)
+        defaults = dict(
+            radius=jnp.float32(r),
+            static_friction=jnp.float32(static_friction),
+            dynamic_friction=jnp.float32(dynamic_friction),
+            restitution=jnp.float32(0.2),
+            damping=jnp.float32(0.14),
+            shock_propagation=jnp.float32(6.0),
+            sleep_threshold=jnp.float32(r * 0.25),
+            collision_distance=jnp.float32(r * 0.5),
+            particle_collision_margin=jnp.float32(r * 0.25),
+            shape_collision_margin=jnp.float32(r * 0.25),
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+class SimState(struct.PyTreeNode):
+    """Particle state, capacity-padded to a static N for jit stability.
+
+    x / v: (N, 3) positions and velocities.
+    invm: (N,) inverse mass (0.2 for the carrot particles; 0 = locked).
+    group: (N,) int32 rigid-group id; -1 for free (non-rigid) particles and
+        padding. Particles sharing a group id do not self-collide
+        (NvFlexMakePhase(group, 0) semantics, NvFlex.h:160-176).
+    active: (N,) bool validity mask for the padded tail.
+    rest: (N, 3) body-local coordinates relative to the group's rest COM
+        (used by shape matching; pyflex.cpp:883-910 rigid COM setup).
+    group_quat: (G, 4) per-group rotation (wxyz), warm-starts the polar
+        decomposition in shape matching.
+    """
+
+    x: jnp.ndarray
+    v: jnp.ndarray
+    invm: jnp.ndarray
+    group: jnp.ndarray
+    active: jnp.ndarray
+    rest: jnp.ndarray
+    group_quat: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_groups(self) -> int:
+        return self.group_quat.shape[0]
+
+
+class Colliders(struct.PyTreeNode):
+    """Static + kinematic analytic colliders.
+
+    planes: (P, 4) half-spaces n.x + d >= 0 that particles must stay inside
+        (FleX g_params.planes; carrots uses numPlanes=1, the ground).
+    boxes: oriented boxes (yaw about +y only — walls and the pusher are all
+        yaw-oriented). box 0 is reserved for the kinematic pusher; its pose
+        and velocity are animated per frame by the env.
+    """
+
+    planes: jnp.ndarray        # (P, 4)
+    box_center: jnp.ndarray    # (B, 3)
+    box_half: jnp.ndarray      # (B, 3)
+    box_yaw: jnp.ndarray       # (B,)
+    box_active: jnp.ndarray    # (B,) bool
+    box_vel: jnp.ndarray       # (B, 3) kinematic velocity (for friction)
+
+    @classmethod
+    def ground_only(cls, num_boxes: int = 5) -> "Colliders":
+        return cls(
+            planes=jnp.array([[0.0, 1.0, 0.0, 0.0]], dtype=jnp.float32),
+            box_center=jnp.zeros((num_boxes, 3), dtype=jnp.float32),
+            box_half=jnp.zeros((num_boxes, 3), dtype=jnp.float32),
+            box_yaw=jnp.zeros((num_boxes,), dtype=jnp.float32),
+            box_active=jnp.zeros((num_boxes,), dtype=bool),
+            box_vel=jnp.zeros((num_boxes, 3), dtype=jnp.float32),
+        )
+
+    def with_box(self, i: int, center, half, yaw=0.0, active=True,
+                 vel=(0.0, 0.0, 0.0)) -> "Colliders":
+        return self.replace(
+            box_center=self.box_center.at[i].set(jnp.asarray(center, jnp.float32)),
+            box_half=self.box_half.at[i].set(jnp.asarray(half, jnp.float32)),
+            box_yaw=self.box_yaw.at[i].set(jnp.float32(yaw)),
+            box_active=self.box_active.at[i].set(active),
+            box_vel=self.box_vel.at[i].set(jnp.asarray(vel, jnp.float32)),
+        )
+
+
+def pad_capacity(n: int, multiple: int = 1024) -> int:
+    """Round particle count up to a bucketed capacity to bound recompiles."""
+    return int(np.ceil(max(n, 1) / multiple) * multiple)

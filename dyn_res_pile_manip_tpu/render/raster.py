@@ -1,0 +1,155 @@
+"""Fused JAX depth/RGB point-splat rasterizer.
+
+Replaces the reference's headless OpenGL renderer
+(PyFleX/bindings/opengl/shadersGL.cpp: EGL context 3326, DrawPoints 892,
+ReadFrame/ReadDepth 497-510) with a pure-JAX rasterizer that runs fused with
+the simulator under one jit:
+
+- particles are splatted as z-buffered spheres through the same projection
+  (45 deg fov, near 0.01, far 1000 — pyflex.cpp:1246-1248) and view matrix;
+- ground plane and oriented boxes (walls / pusher) are ray-traced
+  analytically per pixel;
+- the depth channel is linear eye-space depth in world units, matching
+  pyflex.cpp:3775-3784's z-buffer linearization, so the perception contract
+  (foreground = depth/global_scale < 0.599/0.8, env/flex_env.py:912) holds.
+
+Output: (H, W, 5) float32 = RGBA in 0..255 plus depth.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Colliders
+
+SPLAT = 5  # splat footprint is SPLAT x SPLAT pixels
+
+FLOOR_COLOR = jnp.array([0.78, 0.78, 0.80])
+BOX_COLOR = jnp.array([0.9, 0.9, 0.9])
+LIGHT_DIR = jnp.array([0.1, 2.0, 0.1]) / jnp.linalg.norm(
+    jnp.array([0.1, 2.0, 0.1]))
+
+
+def _yaw_rot(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z, o = jnp.zeros_like(c), jnp.ones_like(c)
+    return jnp.stack([jnp.stack([c, z, s], -1),
+                      jnp.stack([z, o, z], -1),
+                      jnp.stack([-s, z, c], -1)], -2)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
+                cv_from_world: jnp.ndarray, fx, fy, cx, cy,
+                particle_color: jnp.ndarray, draw_radius,
+                width: int = 720, height: int = 720) -> jnp.ndarray:
+    """Rasterize particles + analytic colliders to an RGBD observation.
+
+    cv_from_world: 4x4 matrix to OpenCV camera coords (x right, y down,
+    z forward = depth); see core.camera.Camera.opencv_from_world.
+    """
+    H, W = height, width
+    far = jnp.float32(1e4)
+
+    # ---------------- background: floor + boxes, per-pixel rays ------------
+    world_from_cv = jnp.linalg.inv(cv_from_world)
+    origin = world_from_cv[:3, 3]
+    px = jnp.arange(W, dtype=jnp.float32)
+    py = jnp.arange(H, dtype=jnp.float32)
+    dirx = (px[None, :] - cx) / fx
+    diry = (py[:, None] - cy) / fy
+    dir_cv = jnp.stack([jnp.broadcast_to(dirx, (H, W)),
+                        jnp.broadcast_to(diry, (H, W)),
+                        jnp.ones((H, W))], axis=-1)           # (H,W,3)
+    dir_world = dir_cv @ world_from_cv[:3, :3].T
+
+    # floor y=0: origin.y + t*dir.y = 0  (depth == t since dir_cv.z == 1)
+    t_floor = jnp.where(dir_world[..., 1] < -1e-6,
+                        -origin[1] / dir_world[..., 1], far)
+    bg_depth = jnp.where(t_floor > 0, t_floor, far)
+    checker = ((jnp.floor((origin[0] + t_floor * dir_world[..., 0]) / 2.0)
+                + jnp.floor((origin[2] + t_floor * dir_world[..., 2]) / 2.0))
+               % 2.0)
+    floor_rgb = FLOOR_COLOR[None, None, :] * (0.92 + 0.08 * checker[..., None])
+    bg_rgb = jnp.where((t_floor < far)[..., None], floor_rgb, 0.0)
+
+    # boxes (slab test in the box frame)
+    def box_body(b, carry):
+        bg_depth, bg_rgb = carry
+        R = _yaw_rot(colliders.box_yaw[b])
+        o_l = (origin - colliders.box_center[b]) @ R
+        d_l = dir_world @ R
+        half = colliders.box_half[b]
+        inv = 1.0 / jnp.where(jnp.abs(d_l) < 1e-9,
+                              jnp.sign(d_l) * 1e-9 + 1e-12, d_l)
+        t0 = (-half - o_l) * inv
+        t1 = (half - o_l) * inv
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tmax >= jnp.maximum(tmin, 0.0)) & colliders.box_active[b]
+        t = jnp.where(hit, jnp.where(tmin > 0, tmin, tmax), far)
+        closer = t < bg_depth
+        shade = 0.75 + 0.25 * jnp.clip(-d_l[..., 1], 0, 1)
+        rgb = BOX_COLOR[None, None, :] * shade[..., None]
+        return (jnp.where(closer, t, bg_depth),
+                jnp.where(closer[..., None], rgb, bg_rgb))
+
+    bg_depth, bg_rgb = jax.lax.fori_loop(
+        0, colliders.box_center.shape[0], box_body, (bg_depth, bg_rgb))
+
+    # ---------------- particles: sphere splats -----------------------------
+    n = x.shape[0]
+    homo = jnp.concatenate([x, jnp.ones((n, 1))], axis=1)
+    cam = homo @ cv_from_world.T                               # (N,4)
+    xc, yc, zc = cam[:, 0], cam[:, 1], cam[:, 2]
+    vis = active & (zc > 0.05)
+    u = xc * fx / jnp.maximum(zc, 1e-6) + cx
+    v = yc * fy / jnp.maximum(zc, 1e-6) + cy
+    u0 = jnp.round(u).astype(jnp.int32)
+    v0 = jnp.round(v).astype(jnp.int32)
+
+    offs = jnp.arange(SPLAT) - SPLAT // 2
+    du, dv = jnp.meshgrid(offs, offs, indexing="ij")
+    du = du.ravel()[None, :]                                   # (1,S2)
+    dv = dv.ravel()[None, :]
+    pu = u0[:, None] + du                                      # (N,S2)
+    pv = v0[:, None] + dv
+    # lateral offset of each pixel's ray at the sphere's depth
+    ox = (pu.astype(jnp.float32) - cx) * zc[:, None] / fx - xc[:, None]
+    oy = (pv.astype(jnp.float32) - cy) * zc[:, None] / fy - yc[:, None]
+    r2 = draw_radius * draw_radius
+    d2 = ox * ox + oy * oy
+    inside = d2 < r2
+    bulge = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    zpix = zc[:, None] - bulge
+    okpix = (inside & vis[:, None] & (pu >= 0) & (pu < W)
+             & (pv >= 0) & (pv < H))
+    flat = jnp.where(okpix, pv * W + pu, H * W)                # (N,S2)
+
+    zbuf = jnp.full((H * W + 1,), far, jnp.float32)
+    zbuf = zbuf.at[flat.ravel()].min(jnp.where(okpix, zpix, far).ravel())
+
+    # brightness of the winning splat per pixel (top-lit lambert-ish)
+    shade = 0.45 + 0.55 * (bulge / draw_radius)
+    won = okpix & (zpix <= zbuf[flat] + 1e-4)
+    sbuf = jnp.zeros((H * W + 1,), jnp.float32)
+    sbuf = sbuf.at[jnp.where(won, flat, H * W).ravel()
+                   ].max(jnp.where(won, shade, 0.0).ravel())
+
+    pdepth = zbuf[:H * W].reshape(H, W)
+    pshade = sbuf[:H * W].reshape(H, W)
+
+    particle_won = pdepth < bg_depth
+    depth = jnp.where(particle_won, pdepth, bg_depth)
+    rgb = jnp.where(particle_won[..., None],
+                    particle_color[None, None, :] * pshade[..., None],
+                    bg_rgb)
+
+    out = jnp.concatenate([
+        jnp.clip(rgb * 255.0, 1.0, 255.0),
+        jnp.full((H, W, 1), 255.0),
+        depth[..., None],
+    ], axis=-1)
+    return out
