@@ -53,18 +53,33 @@ def find_neighbors(x: jnp.ndarray, active: jnp.ndarray, group: jnp.ndarray,
     pyflex.cpp:738). Returns (idx (N,k) int32, ok (N,k) bool) with neighbors
     sorted nearest-first; same-group pairs are excluded (NvFlexMakePhase
     group collision filtering, NvFlex.h:160-176).
+
+    Cell ranges in the sorted order are looked up through dense
+    start/end tables scattered from the sorted ids — O(1) per query cell,
+    avoiding binary searches (TPU-hostile gather chains).
     """
     n = x.shape[0]
     dx_, dy_, dz_ = grid_dims
-    total = dx_ * dy_ * dz_
+    # spatial hash: cell ids are hashed into a fixed table; collisions only
+    # add distance-filtered candidates (correctness preserved)
+    hash_bits = 20
+    hsize = 1 << hash_bits
 
     ijk = jnp.floor((x - lower[None, :]) / cell_size).astype(jnp.int32)
     ijk = jnp.clip(ijk, 0, jnp.array([dx_ - 1, dy_ - 1, dz_ - 1]))
     cid = (ijk[:, 0] * dy_ + ijk[:, 1]) * dz_ + ijk[:, 2]
-    cid = jnp.where(active, cid, total)  # park inactive out of range
+    hid = (cid * jnp.int32(-1640531535)) & (hsize - 1)
+    hid = jnp.where(active, hid, hsize)  # park inactive out of range
 
-    order = jnp.argsort(cid)
-    cid_sorted = cid[order]
+    order = jnp.argsort(hid)
+    hid_sorted = hid[order]
+
+    # dense per-bucket [start, end) tables over the sorted order
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_tbl = jnp.full((hsize + 1,), n, jnp.int32
+                         ).at[hid_sorted].min(pos)
+    end_tbl = jnp.zeros((hsize + 1,), jnp.int32
+                        ).at[hid_sorted].max(pos + 1)
 
     # 27 neighbor-cell ids per particle
     offs = _cell_offsets()                                   # (27,3)
@@ -73,12 +88,11 @@ def find_neighbors(x: jnp.ndarray, active: jnp.ndarray, group: jnp.ndarray,
         (nijk >= 0) & (nijk < jnp.array([dx_, dy_, dz_])[None, None, :]),
         axis=-1)
     ncid = (nijk[..., 0] * dy_ + nijk[..., 1]) * dz_ + nijk[..., 2]
-    ncid = jnp.where(in_grid, ncid, total)
+    nhid = (ncid * jnp.int32(-1640531535)) & (hsize - 1)
+    nhid = jnp.where(in_grid, nhid, hsize)
 
-    starts = jnp.searchsorted(cid_sorted, ncid.ravel(), side="left"
-                              ).reshape(n, NUM_NEIGHBOR_CELLS)
-    ends = jnp.searchsorted(cid_sorted, ncid.ravel(), side="right"
-                            ).reshape(n, NUM_NEIGHBOR_CELLS)
+    starts = start_tbl[nhid]
+    ends = end_tbl[nhid]
 
     slot = jnp.arange(CELL_CAP)
     cand_pos = starts[..., None] + slot[None, None, :]       # (N,27,C)
@@ -243,8 +257,8 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
         fr = friction(xp, nrm[None, :], pen, jnp.zeros(3))
         xp = xp + jnp.where(contact[:, None], fr, 0.0)
 
-    # boxes
-    def box_body(b, xp):
+    # boxes (static unroll — box count is small and fixed)
+    for b in range(colliders.box_center.shape[0]):
         R = _yaw_rot(colliders.box_yaw[b])                     # (3,3)
         ctr = colliders.box_center[b]
         p_local = (xp - ctr) @ R                               # world->box
@@ -256,9 +270,6 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
         xp = xp + pen[:, None] * n_world
         fr = friction(xp, n_world, pen, colliders.box_vel[b])
         xp = xp + jnp.where((pen > 0)[:, None], fr, 0.0)
-        return xp
-
-    xp = jax.lax.fori_loop(0, colliders.box_center.shape[0], box_body, xp)
     return xp
 
 
@@ -266,45 +277,57 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
 # contacts
 # ---------------------------------------------------------------------------
 
-def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, state: SimState,
+def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
+                   wi: jnp.ndarray, wj: jnp.ndarray,
                    params: SimParams, nbr_idx: jnp.ndarray,
-                   nbr_ok: jnp.ndarray) -> jnp.ndarray:
+                   nbr_ok: jnp.ndarray, inner: int = 2) -> jnp.ndarray:
     """One Jacobi sweep of pairwise distance constraints + friction +
-    shock-propagation mass scaling."""
+    shock-propagation mass scaling.
+
+    x0j / wj are the substep-invariant neighbor gathers (start positions and
+    inverse masses), hoisted out of the iteration loop — the only
+    per-iteration gather is xp[nbr_idx]. ``inner`` projections are applied
+    per gather (neighbor positions frozen within them, self positions
+    updated — chaotic-relaxation style) to amortize TPU gather cost.
+    """
     rest_d = params.radius  # solidRestDistance == radius for granular scenes
     xj = xp[nbr_idx]                                          # (N,K,3)
-    diff = xp[:, None, :] - xj
-    dist = jnp.linalg.norm(diff, axis=-1)
-    pen = rest_d - dist
-    contact = nbr_ok & (pen > 0)
-    nrm = diff / jnp.maximum(dist, 1e-9)[..., None]
 
-    wi = state.invm[:, None]
-    wj = state.invm[nbr_idx]
-    # shock propagation: the lower particle of a contact becomes heavier so
-    # corrections propagate up the stack (NvFlexParams::shockPropagation).
-    h = (xj[..., 1] - xp[:, None, 1]) / jnp.maximum(rest_d, 1e-9)
-    wi_eff = wi * jnp.exp(-params.shock_propagation * jnp.maximum(h, 0.0))
-    wj_eff = wj * jnp.exp(-params.shock_propagation * jnp.maximum(-h, 0.0))
-    wsum = jnp.maximum(wi_eff + wj_eff, 1e-9)
+    for _ in range(inner):
+        diff = xp[:, None, :] - xj
+        dist = jnp.linalg.norm(diff, axis=-1)
+        pen = rest_d - dist
+        contact = nbr_ok & (pen > 0)
+        nrm = diff / jnp.maximum(dist, 1e-9)[..., None]
 
-    push = (wi_eff / wsum * pen)[..., None] * nrm
+        # shock propagation: the lower particle of a contact becomes heavier
+        # so corrections propagate up the stack
+        # (NvFlexParams::shockPropagation).
+        h = (xj[..., 1] - xp[:, None, 1]) / jnp.maximum(rest_d, 1e-9)
+        wi_eff = wi[:, None] * jnp.exp(
+            -params.shock_propagation * jnp.maximum(h, 0.0))
+        wj_eff = wj * jnp.exp(
+            -params.shock_propagation * jnp.maximum(-h, 0.0))
+        wsum = jnp.maximum(wi_eff + wj_eff, 1e-9)
 
-    # friction: relative tangential displacement this substep
-    dmove = (xp - x0)[:, None, :] - (xp - x0)[nbr_idx]
-    dt_tan = dmove - jnp.sum(dmove * nrm, -1, keepdims=True) * nrm
-    tan_len = jnp.linalg.norm(dt_tan, axis=-1, keepdims=True)
-    static_ok = tan_len < params.static_friction * pen[..., None]
-    scale = jnp.where(
-        static_ok, 1.0,
-        jnp.minimum(1.0, params.dynamic_friction * pen[..., None]
-                    / jnp.maximum(tan_len, 1e-9)))
-    fric = -dt_tan * scale * (wi_eff / wsum)[..., None]
+        push = (wi_eff / wsum * pen)[..., None] * nrm
 
-    delta = jnp.where(contact[..., None], push + fric, 0.0)
-    cnt = jnp.sum(contact, axis=1)
-    dx = jnp.sum(delta, axis=1) / jnp.maximum(cnt, 1)[:, None]
-    return xp + params.relaxation_factor * dx
+        # friction: relative tangential displacement this substep
+        dmove = (xp - x0)[:, None, :] - (xj - x0j)
+        dt_tan = dmove - jnp.sum(dmove * nrm, -1, keepdims=True) * nrm
+        tan_len = jnp.linalg.norm(dt_tan, axis=-1, keepdims=True)
+        static_ok = tan_len < params.static_friction * pen[..., None]
+        scale = jnp.where(
+            static_ok, 1.0,
+            jnp.minimum(1.0, params.dynamic_friction * pen[..., None]
+                        / jnp.maximum(tan_len, 1e-9)))
+        fric = -dt_tan * scale * (wi_eff / wsum)[..., None]
+
+        delta = jnp.where(contact[..., None], push + fric, 0.0)
+        cnt = jnp.sum(contact, axis=1)
+        dx = jnp.sum(delta, axis=1) / jnp.maximum(cnt, 1)[:, None]
+        xp = xp + params.relaxation_factor * dx
+    return xp
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +349,14 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
     sdt = jnp.float32(params.dt / params.num_substeps)
     gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
+    # one neighbor build per frame; the margin covers intra-frame motion
+    # (FleX likewise amortizes its grid build across the solver update)
     search_r = params.radius + params.particle_collision_margin
+    nbr_idx, nbr_ok = find_neighbors(
+        state.x, state.active, state.group, search_r, grid_lower,
+        grid_dims, k)
+    wi = state.invm
+    wj = state.invm[nbr_idx]
 
     def substep(carry, _):
         st, quat = carry
@@ -339,19 +369,20 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
         v = jnp.where(free[:, None], v, 0.0)
         x0 = st.x
         xp = x0 + sdt * v
-
-        nbr_idx, nbr_ok = find_neighbors(
-            xp, st.active, st.group, search_r, grid_lower, grid_dims, k)
+        x0j = x0[nbr_idx]
 
         def iteration(carry, _):
             xp, quat = carry
-            xp = solve_contacts(xp, x0, st, params, nbr_idx, nbr_ok)
+            xp = solve_contacts(xp, x0, x0j, wi, wj, params, nbr_idx,
+                                nbr_ok, inner=2)
             xp = collide_static(xp, x0, colliders, params, sdt)
             xp, quat = shape_match(xp, st, params, quat)
             return (xp, quat), None
 
+        # two contact projections per gather round: num_iterations total
+        # constraint sweeps at half the gather traffic
         (xp, quat), _ = jax.lax.scan(iteration, (xp, quat), None,
-                                     length=params.num_iterations)
+                                     length=max(1, params.num_iterations // 2))
 
         v_new = (xp - x0) / sdt
         # sleeping: kill sub-threshold velocities to stop creep
