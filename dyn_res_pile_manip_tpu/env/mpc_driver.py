@@ -1,0 +1,157 @@
+"""Closed-loop dynamic-resolution MPC driver.
+
+Port of FlexEnv.step_subgoal_ptcl (env/flex_env.py:953-1133), factored out
+of the env class (the reference couples env + controller; SURVEY.md §1
+flags the coupling). Flow per MPC step: infer particle_num from the
+resolution regressor -> perceive 30 FPS state hypotheses -> planner
+trajectory optimization -> execute best push -> re-perceive -> reward
+bookkeeping.
+"""
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..planner.planner import PlannerGD
+from . import rewards as rew
+
+FG_THRESHOLD = 0.599 / 0.8
+
+
+def _reward_of_states(states, subgoal, cam_params, particle_num,
+                      goal_field, goal_coor):
+    r = rew.config_reward_ptcl(
+        jnp.asarray(states, jnp.float32).reshape(-1, particle_num, 3),
+        goal_field, tuple(jnp.float32(c) for c in cam_params),
+        jnp.asarray(goal_coor), normalize=True)
+    return float(np.asarray(r)[0])
+
+
+def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
+                      n_look_ahead=1, n_sample=100, n_update_iter=100,
+                      gd_loop=1, particle_num=50, mpc_type="GD",
+                      funnel_dist=None, action_seq_mpc_init=None,
+                      action_label_seq_mpc_init=None, time_lim=float("inf"),
+                      auto_particle_r=False, res_rgr=None):
+    assert subgoal.shape == (env.screenHeight, env.screenWidth)
+    if mpc_type != "GD":
+        raise NotImplementedError(mpc_type)
+    if getattr(env, "planner", None) is None:
+        env.planner = PlannerGD(env.config, env)
+    planner = env.planner
+
+    particle_den_seq = []
+    if auto_particle_r:
+        if res_rgr is None:
+            from ..models.res_regressor import MPCResRgrNoPool
+            from ..train.checkpoints import load_model_params
+
+            res_rgr = MPCResRgrNoPool(env.config)
+            folder = os.path.join(
+                "data/res_rgr_model",
+                env.config["mpc"]["res_sel"]["model_folder"])
+            it = env.config["mpc"]["res_sel"]["iter_num"]
+            name = ("net_best_dy" if it == -1 else f"net_dy_iter_{it}")
+            res_rgr.params = load_model_params(os.path.join(
+                folder, name + ".ckpt"))
+        fg_mask = (env.render()[..., -1] / env.global_scale
+                   < FG_THRESHOLD).astype(np.float32)
+        subgoal_mask = (subgoal < 0.5).astype(np.float32)
+        particle_num = max(2, res_rgr.infer_param(fg_mask, subgoal_mask))
+        print("particle_num: %d" % particle_num)
+        particle_den_seq.append(particle_num)
+
+    rewards = np.zeros(n_mpc + 1)
+    raw_obs = np.zeros((n_mpc + 1, env.screenHeight, env.screenWidth, 5))
+    states, states_pred = [], []
+    actions = np.zeros((n_mpc, env.act_dim))
+    rew_means = np.zeros((n_mpc, 1, n_update_iter * gd_loop))
+    rew_stds = np.zeros((n_mpc, 1, n_update_iter * gd_loop))
+
+    if init_pos is not None:
+        env.set_positions(init_pos)
+    obs_cur = env.render()
+    raw_obs[0] = obs_cur
+
+    obs_cur, particle_r = env.obs2ptcl_fixed_num_batch(
+        obs_cur, particle_num, batch_size=30)
+    particle_den = np.array([1 / (particle_r ** 2)])[0] \
+        if np.isscalar(particle_r) else float(1 / (particle_r[0] ** 2))
+
+    if action_seq_mpc_init is None:
+        action_seq_mpc_init, action_label_seq_mpc_init = env.sample_action(
+            n_mpc)
+
+    goal_field = rew.prepare_goal(subgoal)
+    goal_coor = rew.goal_coords(subgoal, min(particle_num * 5,
+                                             int((subgoal < 0.5).sum())))
+    rewards[0] = _reward_of_states(obs_cur[:1], subgoal, env.get_cam_params(),
+                                   particle_num, goal_field, goal_coor)
+    states.append(obs_cur[0])
+
+    total_time = rollout_time = optim_time = 0.0
+    iter_num = 0
+    for i in range(n_mpc):
+        attr_cur = np.zeros((obs_cur.shape[0], particle_num))
+        state_param = np.full((obs_cur.shape[0],), particle_den)
+        out = planner.trajectory_optimization_ptcl_multi_traj(
+            obs_cur, state_param, attr_cur, obs_goal=subgoal,
+            model_dy=model_dy,
+            act_seq=action_seq_mpc_init[:n_look_ahead],
+            act_label_seq=(action_label_seq_mpc_init[:n_look_ahead]
+                           if action_label_seq_mpc_init is not None else None),
+            n_sample=n_sample, n_look_ahead=min(n_look_ahead, n_mpc - i),
+            n_update_iter=n_update_iter, action_lower_lim=None,
+            action_upper_lim=None, gd_loop=gd_loop, time_lim=time_lim)
+        action_seq_mpc = out["action_sequence"]
+        iter_num += out["iter_num"]
+        print("mpc_step:", i)
+        print("action:", action_seq_mpc[0])
+
+        obs_cur = env.step(action_seq_mpc[0])
+        if obs_cur is None:
+            raise Exception("sim exploded")
+
+        if auto_particle_r:
+            fg_mask = (env.render()[..., -1] / env.global_scale
+                       < FG_THRESHOLD).astype(np.float32)
+            subgoal_mask = (subgoal < 0.5).astype(np.float32)
+            particle_num = max(2, res_rgr.infer_param(fg_mask, subgoal_mask))
+            particle_den_seq.append(particle_num)
+
+        raw_obs[i + 1] = obs_cur
+        obs_cur, particle_r = env.obs2ptcl_fixed_num_batch(
+            obs_cur, particle_num, batch_size=30)
+        particle_den = float(1 / (particle_r[0] ** 2))
+        print("particle_den:", particle_den)
+        print("particle_num:", particle_num)
+        states.append(obs_cur[0])
+        actions[i] = action_seq_mpc[0]
+        goal_coor = rew.goal_coords(subgoal, min(particle_num * 5,
+                                                 int((subgoal < 0.5).sum())))
+        rewards[i + 1] = _reward_of_states(
+            obs_cur[:1], subgoal, env.get_cam_params(), particle_num,
+            goal_field, goal_coor)
+        total_time += out["times"]["total_time"]
+        rollout_time += out["times"]["rollout_time"]
+        optim_time += out["times"]["optim_time"]
+        states_pred.append(out["observation_sequence"])
+        n_stats = min(out["rew_mean"].shape[1], rew_means.shape[2])
+        rew_means[i, :, :n_stats] = out["rew_mean"][:, :n_stats]
+        rew_stds[i, :, :n_stats] = out["rew_std"][:, :n_stats]
+        if action_seq_mpc_init.shape[0] > 1:
+            action_seq_mpc_init = np.concatenate(
+                (out["action_full"][1:], action_seq_mpc_init[n_look_ahead:]),
+                axis=0)
+            if action_label_seq_mpc_init is not None:
+                action_label_seq_mpc_init = action_label_seq_mpc_init[1:]
+        print("rewards: {}".format(rewards))
+        print()
+    return {"rewards": rewards, "raw_obs": raw_obs, "states": states,
+            "actions": actions, "states_pred": states_pred,
+            "rew_means": rew_means, "rew_stds": rew_stds,
+            "total_time": total_time, "rollout_time": rollout_time,
+            "optim_time": optim_time, "iter_num": iter_num,
+            "particle_den_seq": particle_den_seq}
