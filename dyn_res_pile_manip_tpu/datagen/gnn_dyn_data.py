@@ -1,0 +1,114 @@
+"""Dynamics-dataset generation (reference data_gen/gnn_dyn_data.py:37-130).
+
+Per episode: reset -> save frame 0 (color/depth/particles) -> 10 random
+pushes, each retried until the post-push image changes (color_diff >= 0.001
+no-op rejection, gnn_dyn_data.py:83-95), NaN explosions restart the episode.
+Episode layout on disk matches the reference exactly.
+
+Run: python -m dyn_res_pile_manip_tpu.datagen.gnn_dyn_data [config.yaml]
+Multi-host scaling: shard episodes by worker via --base-epi/--n-epi
+(embarrassingly parallel; the reference's disabled mp pool,
+gnn_dyn_data.py:113-130).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+from ..env.flex_env import FlexEnv
+from ..utils.config import load_config
+from ..utils.imageio import write_color, write_depth
+
+FG_THRESHOLD = 0.599 / 0.8
+
+
+def save_frame(epi_dir: str, t: int, img: np.ndarray, positions: np.ndarray,
+               global_scale: float) -> np.ndarray:
+    """White out background, write color/depth/particles; returns the
+    whited image used for the diff test."""
+    img = img.copy()
+    img[:, :, :3][img[:, :, -1] > FG_THRESHOLD * global_scale] = 255.0
+    write_color(os.path.join(epi_dir, f"{t}_color.png"), img[:, :, :3])
+    write_depth(os.path.join(epi_dir, f"{t}_depth.png"), img[:, :, -1])
+    np.save(os.path.join(epi_dir, f"{t}_particles.npy"), positions)
+    return img
+
+
+def gen_data(config, base_epi=0, n_episodes=None, seed=None):
+    data_dir = config["dataset"]["folder"]
+    n_episode = n_episodes if n_episodes is not None \
+        else config["dataset"]["n_episode"]
+    n_timestep = config["dataset"]["n_timestep"]
+    global_scale = config["dataset"]["global_scale"]
+    obj = config["dataset"]["obj"]
+    os.makedirs(data_dir, exist_ok=True)
+
+    env = FlexEnv(config)
+    env.seed(seed if seed is not None
+             else round(time.time() * 1000) % 2 ** 32)
+
+    idx_episode = base_epi
+    while idx_episode < base_epi + n_episode:
+        env.reset()
+        epi_dir = os.path.join(data_dir, str(idx_episode))
+        os.makedirs(epi_dir, exist_ok=True)
+        actions = np.zeros((n_timestep, env.act_dim))
+
+        if obj == "ball":
+            init_u = np.array([
+                env.init_x + 1.2 * (np.random.randint(0, 2) - 0.6),
+                -env.init_z - 1.2 * (np.random.randint(0, 2) - 0.6),
+                env.init_x, -env.init_z])
+            if env.step(init_u) is None:
+                print("rerun episode %d" % idx_episode)
+                continue
+        img = env.render()
+        last_img = save_frame(epi_dir, 0, img, env.get_positions(),
+                              global_scale)
+
+        valid = True
+        for t in range(n_timestep):
+            color_diff = 0.0
+            while color_diff < 0.001:
+                u, _ = env.sample_action(1)
+                u = u[0, 0]
+                img = env.step(u)
+                if img is None:
+                    valid = False
+                    print("rerun episode %d" % idx_episode)
+                    break
+                img = img.copy()
+                img[:, :, :3][img[:, :, -1]
+                              > FG_THRESHOLD * global_scale] = 255.0
+                color_diff = np.mean(
+                    np.abs(img[:, :, :3] - last_img[:, :, :3]))
+            if not valid:
+                break
+            last_img = save_frame(epi_dir, t + 1, img, env.get_positions(),
+                                  global_scale)
+            actions[t] = u
+        if valid:
+            idx_episode += 1
+        with open(os.path.join(epi_dir, "actions.p"), "wb") as fp:
+            pickle.dump(actions, fp)
+    env.close()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", nargs="?", default=None)
+    ap.add_argument("--base-epi", type=int, default=0)
+    ap.add_argument("--n-epi", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+    config = load_config(args.config)
+    gen_data(config, base_epi=args.base_epi, n_episodes=args.n_epi,
+             seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""GNN-dynamics dataset: dynamic-resolution tracked-particle sequences.
+
+Re-implementation of the reference ParticleDataset
+(dataset/dataset_gnn_dyn.py:27-201), framework-free (no torch DataLoader):
+
+per sample: draw particle density ~ U(15, 6500) -> radius; FPS-rad sample
+tracked particles from the frame's depth; bind each to the nearest GT sim
+particle (KDTree); states = GT particle trajectories at those indices over
+n_his + n_roll frames; states_delta computed by the same pusher model as the
+planner's gen_s_delta (dataset_gnn_dyn.py:121-194). Episode layout on disk
+matches the reference (data_dir/{epi}/{t}_color.png, {t}_depth.png uint16 mm,
+{t}_particles.npy, actions.p), so reference-generated data loads directly.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..utils import pointcloud as pc
+from ..utils.imageio import read_depth
+
+FG_THRESHOLD = 0.599 / 0.8
+DEN_MIN, DEN_MAX = 15.0, 6500.0
+PUSHER_W = 0.8 / 24.0
+
+
+def pusher_delta(particles_cam: np.ndarray, action: np.ndarray,
+                 cam_extrinsic: np.ndarray, global_scale: float) -> np.ndarray:
+    """NumPy twin of planner.gen_s_delta for dataset labeling
+    (dataset_gnn_dyn.py:121-194)."""
+    s, e = action[:2], action[2:]
+    s_3d = np.array([s[0], 0.0, -s[1]])
+    e_3d = np.array([e[0], 0.0, -e[1]])
+    s_cam = pc.opengl2cam(s_3d[None], cam_extrinsic, global_scale)[0]
+    e_cam = pc.opengl2cam(e_3d[None], cam_extrinsic, global_scale)[0]
+    push_dir = e_cam - s_cam
+    push_l = np.linalg.norm(push_dir)
+    push_dir = push_dir / max(push_l, 1e-9)
+    ortho = np.array([-push_dir[1], push_dir[0], 0.0])
+    pos_diff = particles_cam - s_cam[None]
+    proj_ortho = pos_diff @ ortho
+    proj = pos_diff @ push_dir
+    l_mask = ((proj < push_l) & (proj > 0.0)).astype(np.float32)
+    w_excess = np.maximum(np.maximum(-PUSHER_W - proj_ortho, 0.0),
+                          np.maximum(proj_ortho - PUSHER_W, 0.0))
+    w_mask = np.exp(-w_excess / 0.01)
+    to_end = (e_cam[None] - particles_cam) @ push_dir
+    return (to_end[:, None] * push_dir[None]
+            * l_mask[:, None] * w_mask[:, None])
+
+
+class ParticleDataset:
+    def __init__(self, data_dir, config, phase, cam):
+        self.config = config
+        n_episode = config["dataset"]["n_episode"]
+        n_timestep = config["dataset"]["n_timestep"]
+        self.global_scale = config["dataset"]["global_scale"]
+        ratio = config["train"]["train_valid_ratio"]
+        n_train = int(n_episode * ratio)
+        if phase == "train":
+            self.epi_st_idx, self.n_episode = 0, n_train
+        elif phase == "valid":
+            self.epi_st_idx, self.n_episode = n_train, n_episode - n_train
+        else:
+            raise AssertionError(f"Unknown phase {phase}")
+        self.n_timestep = n_timestep + 1
+        self.n_his = config["train"]["n_history"]
+        self.n_roll = config["train"]["n_rollout"]
+        self.data_dir = data_dir
+        self.cam_params, self.cam_extrinsic = cam
+        self.rng = np.random.default_rng()
+
+    def __len__(self):
+        return self.n_episode * (self.n_timestep - self.n_his
+                                 - self.n_roll + 1)
+
+    def read_particles(self, path):
+        particles = np.load(path).reshape(-1, 4).copy()
+        particles[:, 3] = 1.0
+        return pc.opengl2cam(particles[:, :3], self.cam_extrinsic,
+                             self.global_scale)
+
+    def __getitem__(self, idx):
+        particle_den = self.rng.uniform(DEN_MIN, DEN_MAX)
+        particle_r = 1.0 / np.sqrt(particle_den)
+
+        offset = self.n_timestep - self.n_his - self.n_roll + 1
+        idx_episode = idx // offset + self.epi_st_idx
+        idx_timestep = idx % offset
+        epi = os.path.join(self.data_dir, str(idx_episode))
+
+        with open(os.path.join(epi, "actions.p"), "rb") as fp:
+            actions = pickle.load(fp)
+
+        depth = read_depth(os.path.join(epi, f"{idx_timestep}_depth.png")
+                           ) / (self.global_scale * 1000.0)
+        fgpcd = pc.depth2fgpcd(depth, depth < FG_THRESHOLD, self.cam_params)
+        sampled = pc.fps_rad(fgpcd, particle_r)
+        particle_num = sampled.shape[0]
+        sampled = pc.recenter(fgpcd, sampled, r=min(0.02, 0.5 * particle_r))
+
+        first = self.read_particles(
+            os.path.join(epi, f"{idx_timestep}_particles.npy"))
+        _, nearest = cKDTree(first).query(sampled, k=1)
+
+        T = self.n_his + self.n_roll
+        states = np.zeros((T, particle_num, 3))
+        states_delta = np.zeros((T - 1, particle_num, 3))
+        attrs = np.zeros((T, particle_num))
+        for i in range(idx_timestep, idx_timestep + T):
+            particles = self.read_particles(
+                os.path.join(epi, f"{i}_particles.npy"))
+            t = i - idx_timestep
+            states[t] = particles[nearest]
+            if t < T - 1:
+                states_delta[t] = pusher_delta(
+                    particles[nearest], actions[i], self.cam_extrinsic,
+                    self.global_scale)
+        return (states.astype(np.float32),
+                states_delta.astype(np.float32),
+                attrs.astype(np.float32), particle_num,
+                np.float32(particle_den))
+
+
+def collate_pad(batch, n_max=None):
+    """Zero-pad a ragged batch to a common particle count
+    (train_gnn_dyn.py:20-43). Returns numpy arrays + particle_nums."""
+    states, deltas, attrs, nums, dens = zip(*batch)
+    max_len = max(nums) if n_max is None else n_max
+    B = len(batch)
+    T = states[0].shape[0]
+    s = np.zeros((B, T, max_len, 3), np.float32)
+    d = np.zeros((B, T - 1, max_len, 3), np.float32)
+    a = np.zeros((B, T, max_len), np.float32)
+    nums = [min(n, max_len) for n in nums]
+    for i in range(B):
+        n = nums[i]
+        s[i, :, :n] = states[i][:, :n]
+        d[i, :, :n] = deltas[i][:, :n]
+        a[i, :, :n] = attrs[i][:, :n]
+    return s, d, a, np.asarray(nums, np.int32), np.asarray(dens, np.float32)
+
+
+def iterate_batches(dataset, batch_size, shuffle=True, seed=0, n_max=None):
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        batch = [dataset[int(j)] for j in order[i:i + batch_size]]
+        yield collate_pad(batch, n_max=n_max)

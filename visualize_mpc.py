@@ -1,0 +1,74 @@
+"""Closed-loop dynamic-resolution MPC demo (reference visualize_mpc.py).
+
+Loads the MPC config + GNN checkpoint, builds a letter/disc goal, resets the
+env, and runs env.step_subgoal_ptcl with auto resolution selection.
+
+Run: python visualize_mpc.py [config/mpc/config.yaml]
+"""
+import os
+import sys
+
+import numpy as np
+
+from dyn_res_pile_manip_tpu.env.flex_env import FlexEnv
+from dyn_res_pile_manip_tpu.models.gnn_dyn import PropNetDiffDenModel
+from dyn_res_pile_manip_tpu.train.checkpoints import load_model_params
+from dyn_res_pile_manip_tpu.utils.config import load_config
+from dyn_res_pile_manip_tpu.utils.imaging import gen_goal_shape, gen_subgoal
+
+
+def main():
+    cfg_path = sys.argv[1] if len(sys.argv) > 1 else "config/mpc/config.yaml"
+    config = load_config(cfg_path if os.path.exists(cfg_path) else None)
+
+    model_folder = os.path.join("data/gnn_dyn_model",
+                                config["mpc"]["model_folder"])
+    model_iter = config["mpc"]["iter_num"]
+    model = PropNetDiffDenModel(config)
+    ckpt = (os.path.join(model_folder, "net_best.ckpt") if model_iter == -1
+            else os.path.join(model_folder,
+                              f"net_epoch_0_iter_{model_iter}.ckpt"))
+    if os.path.exists(ckpt):
+        model.params = load_model_params(ckpt)
+    else:
+        print(f"WARNING: checkpoint {ckpt} not found; using random init")
+        import jax
+        model.init(jax.random.PRNGKey(0))
+
+    env = FlexEnv(config)
+    screen = 720
+    task = config["mpc"]["task"]
+    if task["type"] == "target_control":
+        subgoal, mask = gen_subgoal(task["goal_row"], task["goal_col"],
+                                    task["goal_r"], h=screen, w=screen)
+    elif task["type"] == "target_shape":
+        subgoal, _ = gen_goal_shape(task["target_char"], h=screen, w=screen)
+    else:
+        raise NotImplementedError(task["type"])
+
+    env.reset()
+    n_sample = config["mpc"]["n_sample"]
+    init_action_path = f"assets/init_action_{n_sample}.npy"
+    if os.path.exists(init_action_path):
+        action_seq_mpc_init = np.load(init_action_path)[np.newaxis, ...]
+    else:
+        acts, _ = env.sample_action(n_sample)
+        action_seq_mpc_init = acts.transpose(1, 0, 2)
+    out = env.step_subgoal_ptcl(
+        subgoal, model, None,
+        n_mpc=config["mpc"]["n_mpc"],
+        n_look_ahead=config["mpc"]["n_look_ahead"],
+        n_sample=n_sample,
+        n_update_iter=config["mpc"]["n_update_iter"],
+        mpc_type=config["mpc"]["mpc_type"],
+        gd_loop=config["mpc"]["gd_loop"],
+        particle_num=-1,
+        action_seq_mpc_init=action_seq_mpc_init,
+        action_label_seq_mpc_init=np.zeros(1),
+        time_lim=config["mpc"]["time_lim"],
+        auto_particle_r=True)
+    print("final rewards:", out["rewards"])
+
+
+if __name__ == "__main__":
+    main()
