@@ -49,14 +49,21 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("frames",))
     def run(st, frames: int):
-        def body(carry, _):
-            st, acc = carry
-            st = pbd.step_frame(st, sp, col, lower, dims)
+        cache0 = pbd.build_cache(st, sp, lower, dims)
+
+        def body(carry, i):
+            st, cache, acc = carry
+            cache = jax.lax.cond(
+                (i % 2) == 0,
+                lambda: pbd.build_cache(st, sp, lower, dims),
+                lambda: cache)
+            st = pbd.step_frame(st, sp, col, lower, dims, cache=cache)
             obs = raster.render_rgbd(st.x, st.active, col, cvw,
                                      fx, fy, cx, cy, color, rdraw)
-            return (st, acc + obs[::173, ::173, 4].sum()), None
-        (st, acc), _ = jax.lax.scan(body, (st, jnp.float32(0)), None,
-                                    length=frames)
+            return (st, cache, acc + obs[::173, ::173, 4].sum()), None
+        (st, _, acc), _ = jax.lax.scan(
+            body, (st, cache0, jnp.float32(0)), jnp.arange(frames),
+            length=frames)
         return st, acc
 
     frames = 60

@@ -38,26 +38,40 @@ def intersect(a, b, c, d):
     return _ccw(a, c, d) != _ccw(b, c, d) and _ccw(a, b, c) != _ccw(a, b, d)
 
 
+REBUILD_EVERY = 2  # frames per neighbor-cache build (margin-covered)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_dims", "n_frames"))
 def _run_frames(state: SimState, params, colliders: Colliders,
                 push_center, push_yaw, push_vel, push_active,
                 grid_lower, grid_dims, n_frames: int) -> SimState:
-    """scan ``n_frames`` sim frames with per-frame pusher poses."""
+    """scan ``n_frames`` sim frames with per-frame pusher poses; the
+    neighbor cache is rebuilt every REBUILD_EVERY frames (the solver's
+    collision margin covers the intervening motion)."""
     half = jnp.asarray(pusher.pusher_half_extents())
+    cache0 = pbd.build_cache(state, params, grid_lower, grid_dims)
 
-    def frame(st, inputs):
-        c, yw, vl, act = inputs
+    def frame(carry, inputs):
+        st, cache = carry
+        i, c, yw, vl, act = inputs
+        cache = jax.lax.cond(
+            (i % REBUILD_EVERY) == 0,
+            lambda: pbd.build_cache(st, params, grid_lower, grid_dims),
+            lambda: cache)
         col = colliders.replace(
             box_center=colliders.box_center.at[0].set(c),
             box_half=colliders.box_half.at[0].set(half),
             box_yaw=colliders.box_yaw.at[0].set(yw),
             box_active=colliders.box_active.at[0].set(act),
             box_vel=colliders.box_vel.at[0].set(vl))
-        st = pbd.step_frame(st, params, col, grid_lower, grid_dims)
-        return st, None
+        st = pbd.step_frame(st, params, col, grid_lower, grid_dims,
+                            cache=cache)
+        return (st, cache), None
 
-    state, _ = jax.lax.scan(
-        frame, state, (push_center, push_yaw, push_vel, push_active),
+    idx = jnp.arange(n_frames)
+    (state, _), _ = jax.lax.scan(
+        frame, (state, cache0),
+        (idx, push_center, push_yaw, push_vel, push_active),
         length=n_frames)
     return state
 

@@ -33,7 +33,7 @@ from ..core.types import Colliders, SimParams, SimState
 
 # Cell-candidate capacity: with cell size == interaction radius and grains at
 # rest distance == radius, a cell rarely holds > 3 particles.
-CELL_CAP = 4
+CELL_CAP = 3
 NUM_NEIGHBOR_CELLS = 27
 
 
@@ -169,28 +169,35 @@ def extract_rotation(A: jnp.ndarray, q0: jnp.ndarray,
     return q
 
 
+def group_onehot(state: SimState) -> jnp.ndarray:
+    """(G, N) one-hot membership matrix (weights) for rigid groups.
+
+    Group ids are fixed for a scene, so this is computed once per frame and
+    turns every shape-matching reduction/broadcast into an MXU matmul —
+    TPU scatters/gathers (segment_sum / index lookups) are serial and slow.
+    """
+    G = state.group_quat.shape[0]
+    gids = jnp.arange(G)[:, None]
+    return ((state.group[None, :] == gids)
+            & (state.group[None, :] >= 0)).astype(jnp.float32)
+
+
 def shape_match(xp: jnp.ndarray, state: SimState, params: SimParams,
-                group_quat: jnp.ndarray):
-    """One rigid shape-matching projection for all groups at once."""
-    G = group_quat.shape[0]
-    is_rigid = state.group >= 0
-    gid = jnp.where(is_rigid, state.group, G)      # trash bucket G
-    w = jnp.where(is_rigid, 1.0, 0.0)
+                group_quat: jnp.ndarray, onehot: jnp.ndarray,
+                inv_counts: jnp.ndarray):
+    """One rigid shape-matching projection for all groups at once, all in
+    matmuls: onehot (G, N), inv_counts (G,) = 1/max(count,1)."""
+    # per-group COM and its per-particle broadcast
+    com = (onehot @ xp) * inv_counts[:, None]                  # (G, 3)
+    com_pp = onehot.T @ com                                    # (N, 3)
+    w = jnp.sum(onehot, axis=0)                                # (N,) 0/1
 
-    counts = jax.ops.segment_sum(w, gid, num_segments=G + 1)
-    sums = jax.ops.segment_sum(xp * w[:, None], gid, num_segments=G + 1)
-    com = sums / jnp.maximum(counts, 1.0)[:, None]
-
-    rel = xp - com[gid]
-    outer = rel[:, :, None] * state.rest[:, None, :]          # (N,3,3)
-    A = jax.ops.segment_sum(outer * w[:, None, None], gid,
-                            num_segments=G + 1)[:G]
+    rel = xp - com_pp
+    outer = (rel[:, :, None] * state.rest[:, None, :]).reshape(-1, 9)
+    A = (onehot @ outer).reshape(-1, 3, 3)                     # (G, 3, 3)
     q = extract_rotation(A, group_quat)
-    R = _quat_to_mat(q)                                        # (G,3,3)
-    goal = com[gid] + jnp.einsum("nij,nj->ni",
-                                 jnp.concatenate([R, jnp.eye(3)[None]],
-                                                 axis=0)[jnp.minimum(gid, G)],
-                                 state.rest)
+    R_pp = (onehot.T @ _quat_to_mat(q).reshape(-1, 9)).reshape(-1, 3, 3)
+    goal = com_pp + jnp.einsum("nij,nj->ni", R_pp, state.rest)
     delta = (goal - xp) * (params.rigid_stiffness * w)[:, None]
     return xp + delta, q
 
@@ -334,11 +341,29 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # the step
 # ---------------------------------------------------------------------------
 
+def build_cache(state: SimState, params: SimParams,
+                grid_lower: jnp.ndarray, grid_dims: Tuple[int, int, int],
+                k: int = 24):
+    """Neighbor lists + frame-invariant gathers. The search margin
+    (particle_collision_margin, NvFlex.h) lets one build serve
+    ``rebuild_every`` frames, amortizing the TPU-hostile gather phase
+    (FleX likewise amortizes its grid build across the solver update)."""
+    search_r = params.radius + params.particle_collision_margin
+    nbr_idx, nbr_ok = find_neighbors(
+        state.x, state.active, state.group, search_r, grid_lower,
+        grid_dims, k)
+    wj = state.invm[nbr_idx]
+    onehot = group_onehot(state)
+    inv_counts = 1.0 / jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
+    return (nbr_idx, nbr_ok, wj, onehot, inv_counts)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("grid_dims", "k"))
 def step_frame(state: SimState, params: SimParams, colliders: Colliders,
                grid_lower: jnp.ndarray,
-               grid_dims: Tuple[int, int, int], k: int = 24) -> SimState:
+               grid_dims: Tuple[int, int, int], k: int = 24,
+               cache=None) -> SimState:
     """Advance one display frame (dt = 1/60): num_substeps x
     (integrate -> neighbors -> num_iterations projections -> velocities).
 
@@ -349,14 +374,10 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
     sdt = jnp.float32(params.dt / params.num_substeps)
     gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
-    # one neighbor build per frame; the margin covers intra-frame motion
-    # (FleX likewise amortizes its grid build across the solver update)
-    search_r = params.radius + params.particle_collision_margin
-    nbr_idx, nbr_ok = find_neighbors(
-        state.x, state.active, state.group, search_r, grid_lower,
-        grid_dims, k)
+    if cache is None:
+        cache = build_cache(state, params, grid_lower, grid_dims, k)
+    nbr_idx, nbr_ok, wj, onehot, inv_counts = cache
     wi = state.invm
-    wj = state.invm[nbr_idx]
 
     def substep(carry, _):
         st, quat = carry
@@ -376,7 +397,7 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
             xp = solve_contacts(xp, x0, x0j, wi, wj, params, nbr_idx,
                                 nbr_ok, inner=2)
             xp = collide_static(xp, x0, colliders, params, sdt)
-            xp, quat = shape_match(xp, st, params, quat)
+            xp, quat = shape_match(xp, st, params, quat, onehot, inv_counts)
             return (xp, quat), None
 
         # two contact projections per gather round: num_iterations total
