@@ -57,15 +57,27 @@ class PropNetDiffDen(nn.Module):
 
         if particle_mask is None:
             particle_mask = jnp.ones((B, N), dtype=s_cur.dtype)
+
+        # Sender-feature selection as a one-hot batched matmul: TPU gathers
+        # are serial and slow, MXU matmuls are not. R plays the role of the
+        # reference's Rs relation matrix (gnn_dyn.py:248-251) with fixed
+        # (B, N*K, N) shape.
+        R = jax.nn.one_hot(nbr_idx.reshape(B, N * K), N, dtype=s_cur.dtype)
+
+        def gather_nbr(x, exact=False):
+            # x: (B, N, F) -> (B, N, K, F) sender features. ``exact`` uses
+            # full f32 MXU precision (positions feed relative offsets and
+            # must be selected exactly); feature matmuls keep the fast path.
+            out = jnp.einsum(
+                "bmn,bnf->bmf", R, x,
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else jax.lax.Precision.DEFAULT))
+            return out.reshape(B, N, K, -1)
+
         edge_w = (nbr_ok.astype(s_cur.dtype)
                   * particle_mask[:, :, None]
-                  * jnp.take_along_axis(
-                      particle_mask[:, :, None].repeat(K, axis=2), nbr_idx,
-                      axis=1))
-
-        def gather_nbr(x):
-            # x: (B, N, F) -> (B, N, K, F) sender features
-            return jax.vmap(lambda xb, ib: xb[ib])(x, nbr_idx)
+                  * gather_nbr(particle_mask[..., None])[..., 0])
 
         # particle encoder: [s_delta(3), attr(1), den(1)] (gnn_dyn.py:127-128)
         p_in = jnp.concatenate(
@@ -76,8 +88,8 @@ class PropNetDiffDen(nn.Module):
 
         # relation encoder: [attr_r(1), attr_s(1), offset(3), den(1)]
         s_rel = s_cur  # receiver/sender positions (offsets thereof)
-        a_s = gather_nbr(a_cur[..., None])                    # (B,N,K,1)
-        s_s = gather_nbr(s_rel)                               # (B,N,K,3)
+        a_s = gather_nbr(a_cur[..., None], exact=True)        # (B,N,K,1)
+        s_s = gather_nbr(s_rel, exact=True)                   # (B,N,K,3)
         r_in = jnp.concatenate([
             jnp.broadcast_to(a_cur[:, :, None, None], (B, N, K, 1)),
             a_s,
