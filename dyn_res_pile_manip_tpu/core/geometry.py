@@ -36,6 +36,16 @@ class ConvexChunk:
     vertices: np.ndarray  # (V, 3) hull vertices (for bounds)
 
 
+def _use_native() -> bool:
+    import os
+
+    if os.environ.get("DYNRES_NO_NATIVE"):
+        return False
+    from .. import native
+
+    return native.available()
+
+
 def random_convex(rng: np.random.Generator, num_planes: int,
                   min_dist: float, max_dist: float) -> ConvexChunk:
     """A random convex solid bounded by the first ``num_planes`` kDOP
@@ -43,7 +53,13 @@ def random_convex(rng: np.random.Generator, num_planes: int,
     num_planes = int(np.clip(num_planes, 6, 12))
     normals = KDOP_DIRECTIONS[:num_planes]
     offsets = rng.uniform(min_dist, max_dist, size=num_planes)
-    verts = _convex_vertices(normals, offsets)
+    if _use_native():
+        from .. import native
+
+        verts = native.kdop_vertices(normals, offsets)
+        verts = np.unique(np.round(verts, 9), axis=0)
+    else:
+        verts = _convex_vertices(normals, offsets)
     return ConvexChunk(normals=normals, offsets=offsets, vertices=verts)
 
 
@@ -95,25 +111,37 @@ def fill_convex_with_particles(chunk: ConvexChunk, lower: np.ndarray,
     # scaled-local frame: x_local = (x_orig - mesh_lower) * s
     edges = edges0 * s
 
-    spacing_eps = spacing * (1.0 - 1e-4)
-    d = np.where(spacing > edges, 1,
-                 np.maximum(1, (edges / spacing_eps).astype(np.int64)))
-    max_dim = int(d.max())
+    if _use_native():
+        from .. import native
 
-    grid_lower = np.zeros(3) - 2.0 * spacing
-    max_dim += 4
-    mesh_offset = 0.5 * (spacing - (edges - (d - 1) * spacing))
-    grid_lower -= mesh_offset
+        occ, grid_lower, max_dim = native.convex_fill_grid(
+            chunk.normals, chunk.offsets, mesh_lower, mesh_upper, scale,
+            spacing)
+        gx, gy, gz = np.nonzero(occ)
+        pts = grid_lower[None, :] + spacing * (
+            np.stack([gx, gy, gz], axis=-1) + 0.5)
+        inside = None
+    else:
+        spacing_eps = spacing * (1.0 - 1e-4)
+        d = np.where(spacing > edges, 1,
+                     np.maximum(1, (edges / spacing_eps).astype(np.int64)))
+        max_dim = int(d.max())
 
-    idx = np.arange(max_dim)
-    gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
-    centers = grid_lower[None, :] + spacing * (
-        np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5)
-    # map voxel centers back to the chunk's original frame for the inside test
-    orig = centers / s + mesh_lower[None, :]
-    inside = np.all(orig @ chunk.normals.T <= chunk.offsets[None, :] + 1e-9,
-                    axis=1)
-    pts = centers[inside]
+        grid_lower = np.zeros(3) - 2.0 * spacing
+        max_dim += 4
+        mesh_offset = 0.5 * (spacing - (edges - (d - 1) * spacing))
+        grid_lower -= mesh_offset
+
+        idx = np.arange(max_dim)
+        gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+        centers = grid_lower[None, :] + spacing * (
+            np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) + 0.5)
+        # map voxel centers back to the chunk's original frame for the
+        # inside test
+        orig = centers / s + mesh_lower[None, :]
+        inside = np.all(
+            orig @ chunk.normals.T <= chunk.offsets[None, :] + 1e-9, axis=1)
+        pts = centers[inside]
     if pts.shape[0] == 0:
         # guarantee at least one particle at the centroid
         pts = ((v.mean(axis=0) - mesh_lower) * s)[None, :]
