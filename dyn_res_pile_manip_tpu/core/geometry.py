@@ -154,7 +154,8 @@ def fill_convex_with_particles(chunk: ConvexChunk, lower: np.ndarray,
 
 def grid_block_particles(lower: np.ndarray, dims: tuple, spacing: float,
                          rng: np.random.Generator,
-                         jitter: float = 0.005) -> np.ndarray:
+                         jitter: float = 0.005,
+                         tie_break: float = 1e-4) -> np.ndarray:
     """Axis-aligned block of free granular particles (yz_granularmanip / the
     'ball' scene: a cube of loose grains)."""
     nx, ny, nz = dims
@@ -164,4 +165,8 @@ def grid_block_particles(lower: np.ndarray, dims: tuple, spacing: float,
     pts = pts + np.asarray(lower)[None, :] + spacing * 0.5
     if jitter > 0:
         pts = pts + rng.uniform(-jitter, jitter, size=pts.shape)
+    elif tie_break > 0:
+        # break exact grid ties (regular packings stress the fixed-capacity
+        # neighbor cells and produce degenerate contact normals)
+        pts = pts + rng.uniform(-tie_break, tie_break, size=pts.shape)
     return pts

@@ -151,3 +151,60 @@ def iterate_batches(dataset, batch_size, shuffle=True, seed=0, n_max=None):
     for i in range(0, len(order) - batch_size + 1, batch_size):
         batch = [dataset[int(j)] for j in order[i:i + batch_size]]
         yield collate_pad(batch, n_max=n_max)
+
+
+def dataset_test(config=None, out="dataset_tracked.gif"):
+    """Render tracked particles + pusher-delta arrows over an episode
+    (reference dataset_gnn_dyn.dataset_test, 203-226)."""
+    from ..core.camera import Camera
+    from ..utils.config import load_config
+    from ..utils.imageio import read_color
+    from ..utils.obs import _draw_line
+    from ..utils.video import VideoRecorder
+
+    config = config or load_config()
+    cam_obj = Camera.default(config["dataset"]["global_scale"])
+    cam = [cam_obj.cam_params(), cam_obj.extrinsics()]
+    ds = ParticleDataset(config["train"]["data_root"], config, "train", cam)
+    states, states_delta, _, num, _ = ds[0]
+    vid = VideoRecorder(out, fps=1)
+    for t in range(states.shape[0] - 1):
+        img = read_color(
+            f"{ds.data_dir}/0/{t}_color.png").astype(np.float64).copy()
+        pix = pc.pcd2pix(states[t], cam[0])
+        nxt = pc.pcd2pix(states[t] + states_delta[t], cam[0])
+        for j in range(pix.shape[0]):
+            _draw_line(img, (pix[j, 1], pix[j, 0]), (pix[j, 1], pix[j, 0]),
+                       (0, 0, 255), 5)
+            _draw_line(img, (pix[j, 1], pix[j, 0]), (nxt[j, 1], nxt[j, 0]),
+                       (0, 255, 0), 2)
+        vid.write(img)
+    vid.close()
+    return out
+
+
+def calibrate_res_range(config=None):
+    """Measure the usable particle-density range on extreme scenes
+    (reference dataset_gnn_dyn.calibrate_res_range, 228-251)."""
+    from ..env.flex_env import FlexEnv
+    from ..utils.config import load_config
+
+    config = config or load_config()
+    env = FlexEnv(config)
+    out = {}
+    for name, preset, n in (("max", "rb_corner", 100),
+                            ("min", "extra_small_wkspc_spread", 2)):
+        env.init_pos = preset
+        env.reset()
+        raw = env.render()
+        depth = raw[..., -1] / config["dataset"]["global_scale"]
+        fgpcd = pc.depth2fgpcd(depth, depth < FG_THRESHOLD,
+                               env.get_cam_params())
+        _, r = pc.fps_np(fgpcd, n)
+        out[f"{name}_particle_den"] = 1.0 / (r ** 2)
+        print(f"{name}_particle_den: {out[f'{name}_particle_den']:.1f}")
+    return out
+
+
+if __name__ == "__main__":
+    calibrate_res_range()

@@ -188,11 +188,31 @@ class FlexEnv:
         action = np.asarray(action, dtype=np.float64).reshape(-1)
         plan = pusher.plan_push(action, self.global_scale, self.robot_type,
                                 self.cont_motion, self.last_ee)
-        self.state = _run_frames(
-            self.state, self.sim_params, self.colliders,
-            jnp.asarray(plan.center), jnp.asarray(plan.yaw),
-            jnp.asarray(plan.vel), jnp.asarray(plan.active),
-            self._grid_lower, self._grid_dims, plan.n_frames)
+        if video_recorder is None:
+            self.state = _run_frames(
+                self.state, self.sim_params, self.colliders,
+                jnp.asarray(plan.center), jnp.asarray(plan.yaw),
+                jnp.asarray(plan.vel), jnp.asarray(plan.active),
+                self._grid_lower, self._grid_dims, plan.n_frames)
+        else:
+            # chunked execution so intermediate frames can be captured
+            # (reference writes per sim frame, flex_env.py:308-314)
+            chunk = 16
+            recs = (video_recorder if isinstance(video_recorder, list)
+                    else [video_recorder])
+            for s0 in range(0, plan.n_frames, chunk):
+                s1 = min(s0 + chunk, plan.n_frames)
+                self.state = _run_frames(
+                    self.state, self.sim_params, self.colliders,
+                    jnp.asarray(plan.center[s0:s1]),
+                    jnp.asarray(plan.yaw[s0:s1]),
+                    jnp.asarray(plan.vel[s0:s1]),
+                    jnp.asarray(plan.active[s0:s1]),
+                    self._grid_lower, self._grid_dims, s1 - s0)
+                frame = self._raster_with_pusher(
+                    plan, min(s1, plan.n_frames - 1))
+                for rec in recs:
+                    rec.write(frame[..., :3].astype(np.uint8))
         if self.cont_motion:
             h = (self.global_scale / 8.0 if self.robot_type == "franka"
                  else 0.11 * self.global_scale)
@@ -219,6 +239,18 @@ class FlexEnv:
                 self.global_scale, cam_idx, self.screenWidth,
                 self.screenHeight)))
         return imgs
+
+    def _raster_with_pusher(self, plan, i: int) -> np.ndarray:
+        """Render with the pusher board posed at frame ``i`` of a plan."""
+        col = self.colliders.with_box(
+            0, plan.center[i], pusher.pusher_half_extents(),
+            yaw=float(plan.yaw[i]), active=bool(plan.active[i]))
+        saved = self.colliders
+        self.colliders = col
+        try:
+            return self._raster(self.camera)
+        finally:
+            self.colliders = saved
 
     def _raster(self, camera: Camera) -> np.ndarray:
         fx, fy, cx, cy = camera.cam_params()

@@ -77,3 +77,50 @@ def config_reward(state, goal, goal_mask):
     mask = state[:, 0]
     rewards = jnp.sum(goal[None] * mask, axis=(1, 2))
     return -rewards
+
+
+def depth_to_pcd(depth, original_size, cam_params, cam_extrinsic):
+    """Back-project a full depth image to a world point-cloud grid
+    (flex_rewards.py:13-33). Host NumPy."""
+    fx, fy, cx, cy = cam_params
+    w, h = original_size
+    obs_h, obs_w = depth.shape
+    fx, fy = fx * obs_w / w, fy * obs_h / h
+    cx, cy = cx * obs_w / w, cy * obs_h / h
+    x, y = np.meshgrid(np.arange(obs_w), np.arange(obs_h))
+    pts = np.stack([((x - cx) * depth / fx).reshape(-1),
+                    ((y - cy) * depth / fy).reshape(-1),
+                    depth.reshape(-1)], axis=1)
+    homo = np.concatenate([pts, np.ones((pts.shape[0], 1))], axis=-1)
+    return (cam_extrinsic @ homo.T).T[:, :3].reshape(obs_h, obs_w, 3)
+
+
+def highest_reward(state, reward_params):
+    """Max negative depth over the workspace (flex_rewards.py:57-92):
+    state (N, C, H, W) with the depth channel last; returns (N,)."""
+    _, _, _ = reward_params
+    arr = np.asarray(state)
+    return np.asarray([np.amax(-arr[i, -1]) for i in range(arr.shape[0])])
+
+
+def distractor_reward_diff(act_seqs_tensor, distractor_dist_fn, config,
+                           width=64):
+    """Penalize pushes whose swept segment nears a distractor
+    (flex_rewards.py:245-264). act_seqs_tensor: (S, T, cvx, 4) jnp."""
+    wkspc_w = config["dataset"]["wkspc_w"]
+    a = act_seqs_tensor
+    n = a.shape[0] * a.shape[1]
+    img = jnp.stack([
+        -a[..., 1] / wkspc_w * width / 3.0 + width / 2.0,
+        a[..., 0] / wkspc_w * width / 3.0 + width / 2.0,
+        -a[..., 3] / wkspc_w * width / 3.0 + width / 2.0,
+        a[..., 2] / wkspc_w * width / 3.0 + width / 2.0,
+    ], axis=-1)
+    img = img.reshape(n, a.shape[2], 4)
+    max_dist = jnp.zeros((n,))
+    for i in range(11):
+        w = i / 10.0
+        px = img[:, 0, 0] * w + img[:, 0, 2] * (1 - w)
+        py = img[:, 0, 1] * w + img[:, 0, 3] * (1 - w)
+        max_dist = jnp.maximum(distractor_dist_fn(px, py), max_dist)
+    return -max_dist

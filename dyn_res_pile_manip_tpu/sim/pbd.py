@@ -31,10 +31,14 @@ from ..core.types import Colliders, SimParams, SimState
 # neighbor search
 # ---------------------------------------------------------------------------
 
-# Cell-candidate capacity: with cell size == interaction radius and grains at
-# rest distance == radius, a cell rarely holds > 3 particles.
-CELL_CAP = 3
+# Cell-candidate capacity. With cell size == search radius (1.25x rest
+# distance) a cell can hold up to 8 particles when a regular packing aligns
+# with the grid; 6 plus the per-build grid offset jitter below keeps
+# overflow rare and transient (dropped candidates change every rebuild).
+CELL_CAP = 6
 NUM_NEIGHBOR_CELLS = 27
+# contact projections per neighbor gather (frozen-neighbor reuse)
+CONTACT_INNER = 2
 
 
 def _cell_offsets():
@@ -65,7 +69,12 @@ def find_neighbors(x: jnp.ndarray, active: jnp.ndarray, group: jnp.ndarray,
     hash_bits = 20
     hsize = 1 << hash_bits
 
-    ijk = jnp.floor((x - lower[None, :]) / cell_size).astype(jnp.int32)
+    # per-build sub-cell grid offset: packings aligned with the grid would
+    # otherwise overflow the same cells persistently
+    wob = jnp.sum(x[0]) * 7919.0
+    offset = (wob - jnp.floor(wob)) * cell_size * jnp.array([1.0, 0.73, 0.41])
+    ijk = jnp.floor((x - lower[None, :] + offset[None, :])
+                    / cell_size).astype(jnp.int32)
     ijk = jnp.clip(ijk, 0, jnp.array([dx_ - 1, dy_ - 1, dz_ - 1]))
     cid = (ijk[:, 0] * dy_ + ijk[:, 1]) * dz_ + ijk[:, 2]
     hid = (cid * jnp.int32(-1640531535)) & (hsize - 1)
@@ -395,15 +404,16 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
         def iteration(carry, _):
             xp, quat = carry
             xp = solve_contacts(xp, x0, x0j, wi, wj, params, nbr_idx,
-                                nbr_ok, inner=2)
+                                nbr_ok, inner=CONTACT_INNER)
             xp = collide_static(xp, x0, colliders, params, sdt)
             xp, quat = shape_match(xp, st, params, quat, onehot, inv_counts)
             return (xp, quat), None
 
-        # two contact projections per gather round: num_iterations total
-        # constraint sweeps at half the gather traffic
-        (xp, quat), _ = jax.lax.scan(iteration, (xp, quat), None,
-                                     length=max(1, params.num_iterations // 2))
+        # CONTACT_INNER projections per gather round: num_iterations total
+        # constraint sweeps at reduced gather traffic
+        (xp, quat), _ = jax.lax.scan(
+            iteration, (xp, quat), None,
+            length=max(1, params.num_iterations // CONTACT_INNER))
 
         v_new = (xp - x0) / sdt
         # sleeping: kill sub-threshold velocities to stop creep

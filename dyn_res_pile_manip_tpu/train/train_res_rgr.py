@@ -127,5 +127,39 @@ def train(config=None):
     return params
 
 
+def test_pred_overfit(config=None, params=None, out_dir="res_rgr_overfit"):
+    """Render predicted vs ground-truth particle counts per training sample
+    (reference train_res_rgr.test_pred_overfit, 231-285)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.config import load_config as _load
+
+    config = config or _load()
+    c = config["train_res_cls"]
+    wrapper = MPCResRgrNoPool(config)
+    if params is None:
+        from .checkpoints import load_model_params
+        params = load_model_params(
+            os.path.join("data/res_rgr_model", "net_best_dy.ckpt"))
+    wrapper.params = params
+    ds = DatasetResRgr(c["data_root"], config, "train")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(len(ds)):
+        item = ds[i]
+        pred = float(wrapper.net.apply(
+            params, jnp.asarray(item["input_img"][None]))[0, 0])
+        gt = float(item["optimal_den"][0])
+        fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+        axes[0].imshow(item["input_img"][..., 0])
+        axes[0].set_title("init")
+        axes[1].imshow(item["input_img"][..., 1])
+        axes[1].set_title(f"goal | pred {pred:.1f} vs gt {gt:.1f}")
+        fig.savefig(os.path.join(out_dir, f"{i}.png"))
+        plt.close(fig)
+    return out_dir
+
+
 if __name__ == "__main__":
     train()
