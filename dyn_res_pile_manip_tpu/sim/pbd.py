@@ -196,16 +196,20 @@ def shape_match(xp: jnp.ndarray, state: SimState, params: SimParams,
                 inv_counts: jnp.ndarray):
     """One rigid shape-matching projection for all groups at once, all in
     matmuls: onehot (G, N), inv_counts (G,) = 1/max(count,1)."""
-    # per-group COM and its per-particle broadcast
-    com = (onehot @ xp) * inv_counts[:, None]                  # (G, 3)
-    com_pp = onehot.T @ com                                    # (N, 3)
+    # per-group COM and its per-particle broadcast. These matmuls carry
+    # raw positions, so force full precision: backends may default f32
+    # matmuls to bf16-class accuracy, which would corrupt COMs by ~radius.
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    com = mm(onehot, xp) * inv_counts[:, None]                 # (G, 3)
+    com_pp = mm(onehot.T, com)                                 # (N, 3)
     w = jnp.sum(onehot, axis=0)                                # (N,) 0/1
 
     rel = xp - com_pp
     outer = (rel[:, :, None] * state.rest[:, None, :]).reshape(-1, 9)
-    A = (onehot @ outer).reshape(-1, 3, 3)                     # (G, 3, 3)
+    A = mm(onehot, outer).reshape(-1, 3, 3)                    # (G, 3, 3)
     q = extract_rotation(A, group_quat)
-    R_pp = (onehot.T @ _quat_to_mat(q).reshape(-1, 9)).reshape(-1, 3, 3)
+    R_pp = mm(onehot.T, _quat_to_mat(q).reshape(-1, 9)).reshape(-1, 3, 3)
     goal = com_pp + jnp.einsum("nij,nj->ni", R_pp, state.rest)
     delta = (goal - xp) * (params.rigid_stiffness * w)[:, None]
     return xp + delta, q

@@ -13,3 +13,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# this environment's CPU backend runs f32 matmuls at reduced precision by
+# default; tests need deterministic full-precision numerics
+jax.config.update("jax_default_matmul_precision", "highest")
