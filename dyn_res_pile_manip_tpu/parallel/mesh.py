@@ -20,8 +20,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              platform: str | None = None) -> Mesh:
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # fall back to virtual CPU devices (e.g. single-chip dev boxes)
+        try:
+            cpus = jax.devices("cpu")
+            if len(cpus) >= n_devices:
+                devs = cpus
+        except RuntimeError:
+            pass
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

@@ -122,8 +122,19 @@ def letter_mask(name: str, h: int, w: int) -> np.ndarray:
 
 def gen_goal_shape(name: str, h: int, w: int, font_name: str = "helvetica_thin"):
     """Goal distance-transform + RGB image for a letter target
-    (utils.py:566-579). Returns (goal_dist (h,w), goal_img (h,w,3) uint8)."""
-    goal = (letter_mask(name, h, w) > 0.5).astype(np.uint8)
+    (utils.py:566-579). Returns (goal_dist (h,w), goal_img (h,w,3) uint8).
+
+    Loads a pre-generated assets/target_shapes/helvetica_{name}.npy mask if
+    present (same role as the reference's env/target_shapes assets; masks
+    store 0 inside the glyph), else rasterizes the glyph procedurally."""
+    asset = os.path.join("assets", "target_shapes", f"helvetica_{name}.npy")
+    if os.path.exists(asset):
+        stored = np.load(asset)
+        if stored.shape != (h, w):
+            stored = resize_area(stored, (h, w))
+        goal = (stored <= 0.5).astype(np.uint8)
+    else:
+        goal = (letter_mask(name, h, w) > 0.5).astype(np.uint8)
     goal_dist = np.minimum(distance_transform(1 - goal), 1e4)
     goal_img = (goal * 255)[..., None].repeat(3, axis=-1).astype(np.uint8)
     return goal_dist, goal_img

@@ -1,6 +1,7 @@
-"""Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding tests run without TPU hardware, and persist the XLA compilation
-cache (compiles dominate test time on small hosts)."""
+"""Test configuration: run tests on an 8-device virtual CPU backend so
+multi-chip sharding paths run without TPU hardware (and without fighting
+the axon platform hook, which forces its own default backend), and persist
+the XLA compilation cache (compiles dominate test time on small hosts)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -17,3 +18,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # this environment's CPU backend runs f32 matmuls at reduced precision by
 # default; tests need deterministic full-precision numerics
 jax.config.update("jax_default_matmul_precision", "highest")
+
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+# route all test computation to CPU even when a TPU plugin hijacks the
+# default platform selection
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
+
+
+def cpu_devices(n=8):
+    return jax.devices("cpu")[:n]
