@@ -21,3 +21,27 @@ Learning for Object Pile Manipulation"):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: whole-push scans are large programs and
+    recompile per frame-count bucket; caching makes reset/push compiles a
+    once-per-machine cost. Opt out with DYNRES_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("DYNRES_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/dynres_jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

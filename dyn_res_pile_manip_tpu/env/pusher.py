@@ -73,7 +73,7 @@ def _ee_to_world(p: np.ndarray) -> np.ndarray:
 def plan_push(action: np.ndarray, global_scale: float,
               robot_type: str = "franka", cont_motion: bool = False,
               last_ee: np.ndarray | None = None,
-              frame_bucket: int = 64) -> PusherPlan:
+              frame_bucket: int = 128) -> PusherPlan:
     """Build the per-frame pusher pose schedule for one 4-D push.
 
     The total frame count is padded up to a multiple of ``frame_bucket``
