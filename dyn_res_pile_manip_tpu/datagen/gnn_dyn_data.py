@@ -74,8 +74,11 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
         for t in range(n_timestep):
             color_diff = 0.0
             while color_diff < 0.001:
-                u, _ = env.sample_action(1)
-                u = u[0, 0]
+                if config["dataset"].get("action_bias", False):
+                    u = env.sample_action_obj_biased(1)[0]
+                else:
+                    u, _ = env.sample_action(1)
+                    u = u[0, 0]
                 img = env.step(u)
                 if img is None:
                     valid = False

@@ -187,7 +187,9 @@ class FlexEnv:
         flex_env.py:316-318 NaN guard)."""
         action = np.asarray(action, dtype=np.float64).reshape(-1)
         plan = pusher.plan_push(action, self.global_scale, self.robot_type,
-                                self.cont_motion, self.last_ee)
+                                self.cont_motion, self.last_ee,
+                                fixed_total=getattr(self, "push_frame_total",
+                                                    None))
         if video_recorder is None:
             self.state = _run_frames(
                 self.state, self.sim_params, self.colliders,

@@ -73,12 +73,14 @@ def _ee_to_world(p: np.ndarray) -> np.ndarray:
 def plan_push(action: np.ndarray, global_scale: float,
               robot_type: str = "franka", cont_motion: bool = False,
               last_ee: np.ndarray | None = None,
-              frame_bucket: int = 128) -> PusherPlan:
+              frame_bucket: int = 128,
+              fixed_total: int | None = None) -> PusherPlan:
     """Build the per-frame pusher pose schedule for one 4-D push.
 
     The total frame count is padded up to a multiple of ``frame_bucket``
     with extra settle frames (pusher inactive) so jitted push programs are
-    reused across pushes.
+    reused across pushes; ``fixed_total`` pins every push to one length
+    (a single compiled program per scene — extra frames are just settle).
     """
     way_pts, angle = action_waypoints(action, global_scale, robot_type,
                                       cont_motion, last_ee)
@@ -111,6 +113,8 @@ def plan_push(action: np.ndarray, global_scale: float,
     n_push = centers.shape[0]
     total = n_push + SETTLE_FRAMES
     total = int(np.ceil(total / frame_bucket) * frame_bucket)
+    if fixed_total is not None:
+        total = max(total, int(fixed_total))
 
     center = np.zeros((total, 3), dtype=np.float32)
     center[:n_push] = centers

@@ -1,0 +1,75 @@
+"""End-to-end env tests on a tiny scene (CPU-friendly)."""
+import numpy as np
+import pytest
+
+from dyn_res_pile_manip_tpu.env.flex_env import FlexEnv
+from dyn_res_pile_manip_tpu.utils.config import load_config
+
+GS = 24.0
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = load_config(overrides={"dataset": {"init_pos": "rt_corner",
+                                             "obj": "carrots"}})
+    e = FlexEnv(cfg)
+    e.push_frame_total = 384  # keep the test push short
+    e.seed(0)
+    e.reset()
+    return e
+
+
+def test_reset_and_obs_contract(env):
+    obs = env.render()
+    assert obs.shape == (720, 720, 5)
+    assert 0.0 <= obs[..., :3].min() and obs[..., :3].max() <= 255.0
+    assert 0.7 * GS <= obs[..., -1].max() <= 0.8 * GS
+    fg = obs[..., -1] / GS < 0.599 / 0.8
+    assert fg.sum() > 0  # the lone carrot is visible
+
+
+def test_positions_roundtrip(env):
+    pos = env.get_positions().reshape(-1, 4)
+    assert pos.shape[1] == 4
+    assert np.isfinite(pos).all()
+    env.set_positions(pos.reshape(-1))
+    np.testing.assert_allclose(env.get_positions(), pos.reshape(-1),
+                               atol=1e-6)
+
+
+def test_action_sampling(env):
+    acts, labels = env.sample_action(5)
+    assert acts.shape == (5, 1, 4)
+    assert np.abs(acts).max() <= env.wkspc_w
+    biased = env.sample_action_obj_biased(3)
+    assert biased.shape == (3, 4)
+
+
+def test_clip_action(env):
+    # a push straight through the middle stays unclipped
+    a = np.array([-3.0, 0.0, 3.0, 0.0])
+    np.testing.assert_array_equal(env.clip_action(a.copy()), a)
+    # a diagonal push ending past the wall gets truncated (the reference's
+    # segment-intersection test cannot catch wall-perpendicular pushes —
+    # the swept pusher segment stays parallel to the wall)
+    b = np.array([0.0, 0.0, 40.0, 3.0])
+    clipped = env.clip_action(b.copy())
+    assert clipped is None or clipped[2] < 40.0
+
+
+def test_push_moves_particles(env):
+    # rt_corner piles sit near (x, z) = (+3, -3); push through the pile
+    pos0 = env.get_positions().reshape(-1, 4)
+    cx, cz = pos0[:, 0].mean(), pos0[:, 2].mean()
+    action = np.array([cx - 1.5, -cz, cx + 1.5, -cz])
+    obs = env.step(action)
+    assert obs is not None
+    pos1 = env.get_positions().reshape(-1, 4)
+    assert pos1[:, 0].mean() > pos0[:, 0].mean() + 0.5
+    assert np.isfinite(pos1).all()
+
+
+def test_multi_camera_render(env):
+    imgs = env.render(add_cam_idx=[1])
+    assert isinstance(imgs, list) and len(imgs) == 2
+    assert imgs[1].shape == (720, 720, 5)
