@@ -279,8 +279,16 @@ class PlannerGD:
               f"({ms_per_iter:.1f} ms/iter calibrated)")
 
         t_opt = time.perf_counter()
+        try:
+            out_arrays = run(n_iters)
+        except Exception as e:  # OOM guard (planners.py:694-696,748-750)
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print("OOM error — retrying with a shorter schedule")
+            n_iters = max(1, n_iters // 4)
+            out_arrays = run(n_iters)
         acts, best_r, best_traj, best_act, r_mean, r_std, r_final = \
-            jax.tree_util.tree_map(np.asarray, run(n_iters))
+            jax.tree_util.tree_map(np.asarray, out_arrays)
         optim_time = (time.perf_counter() - t_opt) * 1000.0
 
         # majority vote across state hypotheses (planners.py:771-781)

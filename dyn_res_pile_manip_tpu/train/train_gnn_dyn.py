@@ -111,6 +111,16 @@ def train(config=None):
     optimizer = optax.adam(float(config["train"]["lr"]),
                            b1=config["train"]["adam_beta1"], b2=0.999)
     opt_state = optimizer.init(params)
+    if resume["active"]:
+        # full-state resume (params + optimizer moments) via orbax, when a
+        # state checkpoint exists alongside the weights
+        from .checkpoints import restore_train_state
+        state_dir = os.path.join(train_dir, "state_epoch_%d_iter_%d"
+                                 % (resume["epoch"], resume["iter"]))
+        if os.path.isdir(state_dir):
+            params, opt_state = restore_train_state(
+                state_dir, (params, opt_state))
+            print("Restored optimizer state from %s" % state_dir)
     train_step = make_train_step(model, optimizer, n_rollout)
 
     st_epoch = resume["epoch"] if resume["active"] and resume["epoch"] > 0 \
@@ -147,6 +157,10 @@ def train(config=None):
                 if phase == "train" and i % ckp_per_iter == 0:
                     save_model_params(params, "%s/net_epoch_%d_iter_%d.ckpt"
                                       % (train_dir, epoch, i))
+                    from .checkpoints import save_train_state
+                    save_train_state((params, opt_state),
+                                     "%s/state_epoch_%d_iter_%d"
+                                     % (train_dir, epoch, i))
             log = "%s [%d/%d] Loss: %.6f, Best valid: %.6f" % (
                 phase, epoch, n_epoch, np.sqrt(meter.avg),
                 np.sqrt(best_valid_loss))

@@ -140,6 +140,20 @@ def gen_goal_shape(name: str, h: int, w: int, font_name: str = "helvetica_thin")
     return goal_dist, goal_img
 
 
+def gen_ch_goal(name: str, h: int, w: int):
+    """Character goal from the 720_ch asset set (utils.py:581-594); falls
+    back to the procedural glyph rasterizer."""
+    asset = os.path.join("assets", "target_shapes_ch", f"{name}.npy")
+    if os.path.exists(asset):
+        stored = resize_area(np.load(asset), (h, w))
+        goal = (stored <= 0.5).astype(np.uint8)
+    else:
+        goal = (letter_mask(name, h, w) > 0.5).astype(np.uint8)
+    goal_dist = distance_transform(1 - goal)
+    goal_img = (goal * 255)[..., None].repeat(3, axis=-1).astype(np.uint8)
+    return goal_dist, goal_img
+
+
 def gen_subgoal(c_row: int, c_col: int, r: float, h: int = 64, w: int = 64):
     """Disc goal: returns (subgoal distance image, binary mask)."""
     mask = np.zeros((h, w))
