@@ -52,6 +52,26 @@ def pusher_delta(particles_cam: np.ndarray, action: np.ndarray,
             * l_mask[:, None] * w_mask[:, None])
 
 
+class _FileCache:
+    """Per-process cache of decoded episode files: the 1-core host is the
+    training bottleneck otherwise (each sample re-decodes a 720^2 PNG and
+    six particle arrays)."""
+
+    def __init__(self, max_items=4096):
+        self.store = {}
+        self.max_items = max_items
+
+    def get(self, key, loader):
+        if key not in self.store:
+            if len(self.store) >= self.max_items:
+                self.store.pop(next(iter(self.store)))
+            self.store[key] = loader()
+        return self.store[key]
+
+
+_CACHE = _FileCache()
+
+
 class ParticleDataset:
     def __init__(self, data_dir, config, phase, cam):
         self.config = config
@@ -78,10 +98,16 @@ class ParticleDataset:
                                  - self.n_roll + 1)
 
     def read_particles(self, path):
-        particles = np.load(path).reshape(-1, 4).copy()
-        particles[:, 3] = 1.0
-        return pc.opengl2cam(particles[:, :3], self.cam_extrinsic,
-                             self.global_scale)
+        def load():
+            particles = np.load(path).reshape(-1, 4).copy()
+            particles[:, 3] = 1.0
+            return pc.opengl2cam(particles[:, :3], self.cam_extrinsic,
+                                 self.global_scale)
+        return _CACHE.get(("ptcl", path), load)
+
+    def read_depth_raw(self, path):
+        return _CACHE.get(("depth", path),
+                          lambda: read_depth(path).astype(np.uint16))
 
     def __getitem__(self, idx):
         particle_den = self.rng.uniform(DEN_MIN, DEN_MAX)
@@ -95,8 +121,9 @@ class ParticleDataset:
         with open(os.path.join(epi, "actions.p"), "rb") as fp:
             actions = pickle.load(fp)
 
-        depth = read_depth(os.path.join(epi, f"{idx_timestep}_depth.png")
-                           ) / (self.global_scale * 1000.0)
+        depth = self.read_depth_raw(
+            os.path.join(epi, f"{idx_timestep}_depth.png")
+        ).astype(np.float64) / (self.global_scale * 1000.0)
         fgpcd = pc.depth2fgpcd(depth, depth < FG_THRESHOLD, self.cam_params)
         sampled = pc.fps_rad(fgpcd, particle_r)
         particle_num = sampled.shape[0]
