@@ -110,9 +110,16 @@ class Colliders(struct.PyTreeNode):
     box_yaw: jnp.ndarray       # (B,)
     box_active: jnp.ndarray    # (B,) bool
     box_vel: jnp.ndarray       # (B, 3) kinematic velocity (for friction)
+    # kinematic capsules (AddCapsule parity, helpers.h:713-760)
+    cap_p0: jnp.ndarray        # (C, 3) segment start
+    cap_p1: jnp.ndarray        # (C, 3) segment end
+    cap_radius: jnp.ndarray    # (C,)
+    cap_active: jnp.ndarray    # (C,) bool
+    cap_vel: jnp.ndarray       # (C, 3)
 
     @classmethod
-    def ground_only(cls, num_boxes: int = 5) -> "Colliders":
+    def ground_only(cls, num_boxes: int = 5,
+                    num_capsules: int = 2) -> "Colliders":
         return cls(
             planes=jnp.array([[0.0, 1.0, 0.0, 0.0]], dtype=jnp.float32),
             box_center=jnp.zeros((num_boxes, 3), dtype=jnp.float32),
@@ -120,6 +127,21 @@ class Colliders(struct.PyTreeNode):
             box_yaw=jnp.zeros((num_boxes,), dtype=jnp.float32),
             box_active=jnp.zeros((num_boxes,), dtype=bool),
             box_vel=jnp.zeros((num_boxes, 3), dtype=jnp.float32),
+            cap_p0=jnp.zeros((num_capsules, 3), dtype=jnp.float32),
+            cap_p1=jnp.ones((num_capsules, 3), dtype=jnp.float32),
+            cap_radius=jnp.zeros((num_capsules,), dtype=jnp.float32),
+            cap_active=jnp.zeros((num_capsules,), dtype=bool),
+            cap_vel=jnp.zeros((num_capsules, 3), dtype=jnp.float32),
+        )
+
+    def with_capsule(self, i: int, p0, p1, radius, active=True,
+                     vel=(0.0, 0.0, 0.0)) -> "Colliders":
+        return self.replace(
+            cap_p0=self.cap_p0.at[i].set(jnp.asarray(p0, jnp.float32)),
+            cap_p1=self.cap_p1.at[i].set(jnp.asarray(p1, jnp.float32)),
+            cap_radius=self.cap_radius.at[i].set(jnp.float32(radius)),
+            cap_active=self.cap_active.at[i].set(active),
+            cap_vel=self.cap_vel.at[i].set(jnp.asarray(vel, jnp.float32)),
         )
 
     def with_box(self, i: int, center, half, yaw=0.0, active=True,

@@ -34,6 +34,7 @@ class _Runtime:
         self.build = None
         self.colliders = Colliders.ground_only(num_boxes=8)
         self.n_boxes = 1  # slot 0 reserved for a kinematic pusher
+        self.n_capsules = 0
         self.grid = pbd.default_grid(24.0)
         self.seed = 0
 
@@ -80,6 +81,7 @@ def set_scene(idx, scene_params, thread_idx=0):
     _rt.state, _rt.sim_params, _rt.build = state, params, build
     _rt.colliders = Colliders.ground_only(num_boxes=8)
     _rt.n_boxes = 1
+    _rt.n_capsules = 0
 
 
 def get_n_particles():
@@ -121,6 +123,25 @@ def add_box(halfEdge, center, quat, hideShape=0, color=None):
         yaw=_yaw_from_quat(quat), active=True)
     _rt.n_boxes += 1
     return b
+
+
+def add_capsule(radius, half_length, center, quat, hideShape=0,
+                color=None):
+    """Kinematic capsule along the local x-axis (AddCapsule parity)."""
+    import numpy as _np
+
+    x, y, z, w = [float(v) for v in quat]
+    # rotate the local x axis by the quaternion
+    axis = _np.array([1 - 2 * (y * y + z * z),
+                      2 * (x * y + z * w),
+                      2 * (x * z - y * w)])
+    c = _np.asarray(center, dtype=_np.float64)
+    i = _rt.n_capsules
+    _rt.colliders = _rt.colliders.with_capsule(
+        i, c - axis * half_length, c + axis * half_length, radius,
+        active=True)
+    _rt.n_capsules += 1
+    return i
 
 
 def add_mesh(path, scaling, hideShape=0, color=None):

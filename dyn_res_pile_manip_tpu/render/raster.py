@@ -99,6 +99,48 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     bg_depth, bg_rgb = jax.lax.fori_loop(
         0, colliders.box_center.shape[0], box_body, (bg_depth, bg_rgb))
 
+    # capsules (analytic ray-capsule intersection)
+    def cap_body(c, carry):
+        bg_depth, bg_rgb = carry
+        pa = colliders.cap_p0[c]
+        ba = colliders.cap_p1[c] - pa
+        r = colliders.cap_radius[c]
+        oa = origin - pa
+        baba = jnp.dot(ba, ba) + 1e-9
+        bard = dir_world @ ba
+        baoa = jnp.dot(oa, ba)
+        rdoa = dir_world @ oa
+        oaoa = jnp.dot(oa, oa)
+        rdrd = jnp.sum(dir_world * dir_world, axis=-1)
+        a = baba * rdrd - bard * bard
+        b = baba * rdoa - baoa * bard
+        cq = baba * oaoa - baoa * baoa - r * r * baba
+        hdet = b * b - a * jnp.maximum(cq, -1e18)
+        t_body = (-b - jnp.sqrt(jnp.maximum(hdet, 0.0))) / jnp.maximum(
+            a, 1e-9)
+        y = baoa + t_body * bard
+        body_hit = (hdet > 0) & (y > 0) & (y < baba) & (t_body > 0)
+
+        def sphere_t(center):
+            oc = origin - center
+            bq = dir_world @ oc
+            cq2 = jnp.dot(oc, oc) - r * r
+            h2 = bq * bq - cq2 * jnp.sum(dir_world * dir_world, axis=-1)
+            t = (-bq - jnp.sqrt(jnp.maximum(h2, 0.0))) / jnp.maximum(
+                jnp.sum(dir_world * dir_world, axis=-1), 1e-9)
+            return jnp.where((h2 > 0) & (t > 0), t, far)
+
+        t = jnp.where(body_hit, t_body,
+                      jnp.minimum(sphere_t(pa), sphere_t(pa + ba)))
+        t = jnp.where(colliders.cap_active[c], t, far)
+        closer = t < bg_depth
+        rgb = BOX_COLOR[None, None, :] * 0.85
+        return (jnp.where(closer, t, bg_depth),
+                jnp.where(closer[..., None], rgb, bg_rgb))
+
+    bg_depth, bg_rgb = jax.lax.fori_loop(
+        0, colliders.cap_p0.shape[0], cap_body, (bg_depth, bg_rgb))
+
     # ---------------- particles: sphere splats -----------------------------
     n = x.shape[0]
     homo = jnp.concatenate([x, jnp.ones((n, 1))], axis=1)

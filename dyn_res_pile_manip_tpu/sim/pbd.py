@@ -290,6 +290,22 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
         xp = xp + pen[:, None] * n_world
         fr = friction(xp, n_world, pen, colliders.box_vel[b])
         xp = xp + jnp.where((pen > 0)[:, None], fr, 0.0)
+
+    # capsules: keep particle centers cap_radius + cd from the segment
+    for c in range(colliders.cap_p0.shape[0]):
+        p0 = colliders.cap_p0[c]
+        seg = colliders.cap_p1[c] - p0
+        seg_len2 = jnp.maximum(jnp.dot(seg, seg), 1e-9)
+        t = jnp.clip((xp - p0[None, :]) @ seg / seg_len2, 0.0, 1.0)
+        closest = p0[None, :] + t[:, None] * seg[None, :]
+        diff = xp - closest
+        dist = jnp.linalg.norm(diff, axis=-1)
+        pen = jnp.maximum(colliders.cap_radius[c] + cd - dist, 0.0)
+        pen = jnp.where(colliders.cap_active[c], pen, 0.0)
+        nrm = diff / jnp.maximum(dist, 1e-9)[:, None]
+        xp = xp + pen[:, None] * nrm
+        fr = friction(xp, nrm, pen, colliders.cap_vel[c])
+        xp = xp + jnp.where((pen > 0)[:, None], fr, 0.0)
     return xp
 
 

@@ -1,0 +1,62 @@
+"""All init_pos presets build; the pyflex shim round-trips a scene."""
+import numpy as np
+import pytest
+
+from dyn_res_pile_manip_tpu.env import presets, scene
+
+ALL_PRESETS = [
+    "spread", "wkspc_spread", "wkspc_spread_double", "wkspc_spread_triple",
+    "wkspc_spread_4", "extra_large_wkspc_spread", "extra_small_wkspc_spread",
+    "extra_small_half_spread", "rand_blob", "rand_spread",
+    "rand_sparse_spread", "rb_corner", "center", "center_init_2",
+    "rt_corner", "wkspc_spread_multi_granularity", "singular", "blank",
+]
+
+
+@pytest.mark.parametrize("name", ALL_PRESETS)
+def test_preset_params_build(name):
+    rng = np.random.default_rng(0)
+    params = presets.carrots_scene_params(name, 24.0, rng)
+    assert params.shape == (20,)
+    assert params[8] >= 1  # num_carrots
+    # geometry builds (host only, no sim)
+    build = scene.build_carrots(params, seed=1)
+    assert build.positions.shape[0] > 0
+    assert build.num_groups >= 1
+    assert np.isfinite(build.positions).all()
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(NotImplementedError):
+        presets.carrots_preset("nope", 24.0, np.random.default_rng(0))
+
+
+def test_scene_registry_indices():
+    assert sorted(scene.SCENE_REGISTRY) == [18, 20, 21, 22, 23]
+
+
+def test_pyflex_shim_roundtrip():
+    import dyn_res_pile_manip_tpu.pyflex_shim as pyflex
+
+    pyflex.set_screenWidth(180)
+    pyflex.set_screenHeight(180)
+    pyflex.init(True)
+    pyflex.set_scene(18, np.array([0.4, -0.2, 0.0, -0.2, 1.0, 0.7, 0.075]))
+    n = pyflex.get_n_particles()
+    assert n > 20
+    for _ in range(3):
+        pyflex.step()
+    pos = pyflex.get_positions().reshape(-1, 4)
+    assert pos.shape[0] == n
+    pyflex.set_positions(pos.reshape(-1))
+    img = pyflex.render(render_depth=True).reshape(180, 180, 5)
+    assert img[..., -1].max() <= 0.8 * 24.0
+    proj = pyflex.get_projMatrix().reshape(4, 4).T
+    assert np.isclose(proj[0, 0], 1.0 / np.tan(np.deg2rad(22.5)))
+    view = pyflex.get_viewMatrix().reshape(4, 4).T
+    assert view.shape == (4, 4)
+    b = pyflex.add_box(np.array([0.1, 1.0, 5.0]),
+                       np.array([5.0, 1.0, 0.0]),
+                       np.array([0, 0, 0, 1]), 0, np.ones(3))
+    assert b >= 1
+    pyflex.clean()

@@ -147,3 +147,53 @@ def test_kinematic_box_pushes_particles():
     assert xs[:, 0].mean() > pts[:, 0].mean() + 0.2
     # nothing tunneled through the box (box face ended near +0.9)
     assert xs[:, 0].min() > -0.5
+
+
+def test_capsule_collider_supports_particles():
+    """Grains rest on a horizontal kinematic capsule instead of falling
+    through (AddCapsule parity, helpers.h:713-760)."""
+    import jax.numpy as jnp
+
+    from dyn_res_pile_manip_tpu.core import geometry
+    from dyn_res_pile_manip_tpu.core.types import SimParams, SimState
+
+    rng = np.random.default_rng(0)
+    pts = geometry.grid_block_particles(
+        np.array([-0.15, 1.2, -0.15]), (4, 2, 4), 0.0751, rng, 0.0)
+    n, cap = pts.shape[0], 256
+    x = np.full((cap, 3), [0, -1000, 0], np.float32)
+    x[:n] = pts
+    state = SimState(
+        x=jnp.asarray(x), v=jnp.zeros((cap, 3), jnp.float32),
+        invm=jnp.asarray((np.arange(cap) < n).astype(np.float32)),
+        group=jnp.full((cap,), -1, jnp.int32),
+        active=jnp.asarray(np.arange(cap) < n),
+        rest=jnp.zeros((cap, 3), jnp.float32),
+        group_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (8, 1)))
+    sp = SimParams.granular(0.075)
+    lower, dims = pbd.default_grid(4.0)
+    col = Colliders.ground_only(num_boxes=1).with_capsule(
+        0, (-1.0, 0.8, 0.0), (1.0, 0.8, 0.0), 0.3)
+    st = state
+    for _ in range(90):
+        st = pbd.step_frame(st, sp, col, lower, dims)
+    xs = np.asarray(st.x)[:n]
+    # some grains rest on top of the capsule (y ~ 0.8 + 0.3 + offsets)
+    assert xs[:, 1].max() > 1.05
+    # none inside the capsule core
+    t = np.clip((xs[:, 0] + 1.0) / 2.0, 0, 1)
+    closest = np.stack([t * 2.0 - 1.0, np.full(n, 0.8), np.zeros(n)], 1)
+    d = np.linalg.norm(xs - closest, axis=1)
+    assert d.min() > 0.3
+
+
+def test_force_field_impulse():
+    from dyn_res_pile_manip_tpu.sim import force_fields
+
+    state, sp, build = scene_lib.set_scene(
+        22, SMALL_CARROTS, seed=0, capacity_multiple=256, group_multiple=32)
+    st = force_fields.apply_force_field(
+        state, center=(0.0, 0.0, 0.0), radius=100.0, strength=2.0,
+        mode=force_fields.MODE_VELOCITY_CHANGE)
+    vs = np.asarray(st.v)[np.asarray(st.active)]
+    assert (np.linalg.norm(vs, axis=1) > 1.0).all()
