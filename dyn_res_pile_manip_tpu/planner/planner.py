@@ -27,7 +27,6 @@ import numpy as np
 import optax
 
 from ..env import rewards as rew
-from ..utils import pointcloud as pc
 
 PUSHER_W = 0.8 / 24.0
 
