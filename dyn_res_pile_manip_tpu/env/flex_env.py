@@ -54,18 +54,29 @@ def _run_frames(state: SimState, params, colliders: Colliders,
     def frame(carry, inputs):
         st, cache = carry
         i, c, yw, vl, act = inputs
-        cache = jax.lax.cond(
-            (i % REBUILD_EVERY) == 0,
-            lambda: pbd.build_cache(st, params, grid_lower, grid_dims),
-            lambda: cache)
-        col = colliders.replace(
-            box_center=colliders.box_center.at[0].set(c),
-            box_half=colliders.box_half.at[0].set(half),
-            box_yaw=colliders.box_yaw.at[0].set(yw),
-            box_active=colliders.box_active.at[0].set(act),
-            box_vel=colliders.box_vel.at[0].set(vl))
-        st = pbd.step_frame(st, params, col, grid_lower, grid_dims,
-                            cache=cache)
+
+        # sleep skip: a fully-at-rest scene with the pusher parked is a
+        # fixed point of the solver (settle tails dominate push frames);
+        # a heartbeat frame every 8th bounds any sleep-clamp artifact
+        asleep = (jnp.max(jnp.abs(st.v)) == 0.0) & ~act & ((i % 8) != 0)
+
+        def run(st, cache):
+            cache = jax.lax.cond(
+                (i % REBUILD_EVERY) == 0,
+                lambda: pbd.build_cache(st, params, grid_lower, grid_dims),
+                lambda: cache)
+            col = colliders.replace(
+                box_center=colliders.box_center.at[0].set(c),
+                box_half=colliders.box_half.at[0].set(half),
+                box_yaw=colliders.box_yaw.at[0].set(yw),
+                box_active=colliders.box_active.at[0].set(act),
+                box_vel=colliders.box_vel.at[0].set(vl))
+            st = pbd.step_frame(st, params, col, grid_lower, grid_dims,
+                                cache=cache)
+            return st, cache
+
+        st, cache = jax.lax.cond(asleep, lambda s, ch: (s, ch), run,
+                                 st, cache)
         return (st, cache), None
 
     idx = jnp.arange(n_frames)
