@@ -73,3 +73,23 @@ def test_multi_camera_render(env):
     imgs = env.render(add_cam_idx=[1])
     assert isinstance(imgs, list) and len(imgs) == 2
     assert imgs[1].shape == (720, 720, 5)
+
+
+def test_sleep_skip_preserves_rest_state(env):
+    """Parked-pusher settles on an at-rest scene leave the pile in place
+    (skipped frames are exact no-ops; heartbeat frames may micro-sag by
+    ~g*dt^2 like any real resting frame)."""
+    import jax.numpy as jnp
+
+    from dyn_res_pile_manip_tpu.env.flex_env import _run_frames
+
+    # drive to full rest
+    env.render()
+    for _ in range(3):
+        st0 = env.state
+        env.state = env._settle(env.colliders, 64)
+    st0 = env.state
+    assert float(jnp.max(jnp.abs(st0.v))) == 0.0
+    st1 = env._settle(env.colliders, 64)
+    np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st0.x),
+                               atol=5e-3)
