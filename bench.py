@@ -1,27 +1,81 @@
-"""Headline benchmark: fused PBD sim-step + depth render throughput.
+"""Headline benchmark. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extras"}.
 
-Metric: particle-steps/sec at ~4k particles (one "step" = one dt=1/60
-display frame = 2 substeps x 12 constraint iterations, plus a fused
-720x720 RGBD render every frame — strictly more work per frame than the
-reference, which renders only at push boundaries).
+Primary metric — GNN-MPC rollout throughput (the workload's hot loop:
+planner optimize iterations, each = pusher model + GNN graph build +
+3-step message passing + differentiable reward + Adam update, batched over
+64 action samples x 30 state hypotheses at N=100 particles).
 
-vs_baseline: the reference runs NVIDIA FleX (closed CUDA) at roughly
-2 ms/frame for a ~4k-particle granular scene on its single-GPU docker setup
-(no published tables; estimated from the FleX demo's granular benchmarks),
-i.e. ~2.0e6 particle-steps/sec. BASELINE.md records that the repo publishes
-no benchmark numbers.
+vs_baseline: the reference's own fitted iteration-time model
+(planners.py:25-28, calibrated at batch 300 on its single-GPU setup) gives
+300 rollouts / 72.4 ms = 4,144 rollouts/s at N=100 — the number its MPC
+uses to budget iterations. BASELINE.md records that the repo publishes no
+benchmark tables.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+extras.fused_sim_render_particle_steps_per_sec_4k — PBD frame (2 substeps
+x 12 iterations) + fused 720^2 RGBD render at ~4k particles (the reference
+renders only at push boundaries; FleX-estimate baseline ~2e6, see
+PERFORMANCE.md).
 """
+import functools
 import json
 import time
 
 import numpy as np
 
-REFERENCE_PARTICLE_STEPS_PER_SEC = 2.0e6
+REF_MPC_ROLLOUTS_PER_SEC = 300.0 / ((2969.3971 - 69.923244 * 100
+                                     + 1.8509846 * 100 ** 2) / 200.0 / 1000.0)
+REF_SIM_PARTICLE_STEPS_PER_SEC = 2.0e6
 
 
-def main():
+def bench_mpc():
+    import jax
+
+    from dyn_res_pile_manip_tpu.core.camera import Camera
+    from dyn_res_pile_manip_tpu.models.gnn_dyn import PropNetDiffDenModel
+    from dyn_res_pile_manip_tpu.planner.planner import PlannerGD
+    from dyn_res_pile_manip_tpu.utils.config import load_config
+    from dyn_res_pile_manip_tpu.utils.imaging import gen_subgoal
+
+    class _Env:
+        is_real = False
+        screenWidth = screenHeight = 720
+
+        def __init__(self):
+            self.cam = Camera.default(24.0)
+            self.cvx_region = np.array([[-5.0, 5.0, -5.0, 5.0]])
+
+        def get_cam_params(self):
+            return self.cam.cam_params()
+
+        def get_cam_extrinsics(self):
+            return self.cam.extrinsics()
+
+    cfg = load_config()
+    model = PropNetDiffDenModel(cfg)
+    model.init(jax.random.PRNGKey(0))
+    planner = PlannerGD(cfg, _Env())
+    subgoal, _ = gen_subgoal(360, 360, 100, h=720, w=720)
+    rng = np.random.default_rng(0)
+    N, n_batch, traj = 100, 30, 64
+    state = rng.uniform(-0.2, 0.2, (n_batch, N, 3)).astype(np.float32)
+    state[:, :, 2] += 0.75
+    act_seq = rng.uniform(-4, 4, (1, traj, 4))
+
+    def run():
+        return planner.trajectory_optimization_ptcl_multi_traj(
+            state, np.full((n_batch,), 1000.0), np.zeros((n_batch, N)),
+            subgoal, model, act_seq, np.zeros(1), n_sample=traj,
+            n_look_ahead=1, n_update_iter=20, action_lower_lim=None,
+            action_upper_lim=None, time_lim=float("inf"))
+
+    run()   # compile + calibrate
+    run()
+    ms_iter = planner._iter_ms[(N, n_batch, traj, 1)]
+    return traj * n_batch / (ms_iter / 1000.0)
+
+
+def bench_sim_render():
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +85,6 @@ def main():
     from dyn_res_pile_manip_tpu.sim import pbd
 
     gs = 24.0
-    # ~4k-particle carrots scene
     params20 = np.array([
         0.36, 0.36, -1.2, 0.5, -1.2, 1.0, 0.9, 1.0,
         88, 10.0, 20.0, 6, 10, 6, 0.72, 0.0, -1, -1, -1, 0.0])
@@ -44,8 +97,6 @@ def main():
     cvw = jnp.asarray(cam.opencv_from_world(), jnp.float32)
     color = jnp.asarray(build.color, jnp.float32)
     rdraw = jnp.float32(float(sp.radius) * 0.5)
-
-    import functools
 
     @functools.partial(jax.jit, static_argnames=("frames",))
     def run(st, frames: int):
@@ -67,21 +118,31 @@ def main():
         return st, acc
 
     frames = 60
-    st, acc = run(state, frames)           # compile + settle
+    st, acc = run(state, frames)
     jax.block_until_ready(st.x)
     t0 = time.perf_counter()
     st, acc = run(st, frames)
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
-    particle_steps_per_sec = n * frames / dt
+    return n * frames / dt
 
+
+def main():
+    mpc = bench_mpc()
+    sim = bench_sim_render()
     print(json.dumps({
-        "metric": "fused_sim_render_particle_steps_per_sec_4k",
-        "value": round(float(particle_steps_per_sec), 1),
-        "unit": "particle-steps/s",
-        "vs_baseline": round(
-            float(particle_steps_per_sec) / REFERENCE_PARTICLE_STEPS_PER_SEC,
-            4),
+        "metric": "gnn_mpc_rollouts_per_sec_64x30_n100",
+        "value": round(float(mpc), 1),
+        "unit": "rollouts/s",
+        "vs_baseline": round(float(mpc) / REF_MPC_ROLLOUTS_PER_SEC, 3),
+        "extras": {
+            "fused_sim_render_particle_steps_per_sec_4k": round(
+                float(sim), 1),
+            "sim_vs_flex_estimate": round(
+                float(sim) / REF_SIM_PARTICLE_STEPS_PER_SEC, 4),
+            "ref_mpc_rollouts_per_sec_fitted": round(
+                REF_MPC_ROLLOUTS_PER_SEC, 1),
+        },
     }))
 
 
