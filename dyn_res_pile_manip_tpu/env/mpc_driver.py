@@ -54,12 +54,20 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
                 env.config["mpc"]["res_sel"]["model_folder"])
             it = env.config["mpc"]["res_sel"]["iter_num"]
             name = ("net_best_dy" if it == -1 else f"net_dy_iter_{it}")
-            res_rgr.params = load_model_params(os.path.join(
-                folder, name + ".ckpt"))
+            ckpt = os.path.join(folder, name + ".ckpt")
+            if os.path.exists(ckpt):
+                res_rgr.params = load_model_params(ckpt)
+            else:
+                import jax
+
+                print(f"WARNING: regressor checkpoint {ckpt} missing; "
+                      "using random init (train with train_res_rgr)")
+                res_rgr.init(jax.random.PRNGKey(0))
         fg_mask = (env.render()[..., -1] / env.global_scale
                    < FG_THRESHOLD).astype(np.float32)
         subgoal_mask = (subgoal < 0.5).astype(np.float32)
-        particle_num = max(2, res_rgr.infer_param(fg_mask, subgoal_mask))
+        particle_num = int(np.clip(
+            res_rgr.infer_param(fg_mask, subgoal_mask), 2, 200))
         print("particle_num: %d" % particle_num)
         particle_den_seq.append(particle_num)
 
@@ -118,7 +126,8 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
             fg_mask = (env.render()[..., -1] / env.global_scale
                        < FG_THRESHOLD).astype(np.float32)
             subgoal_mask = (subgoal < 0.5).astype(np.float32)
-            particle_num = max(2, res_rgr.infer_param(fg_mask, subgoal_mask))
+            particle_num = int(np.clip(
+            res_rgr.infer_param(fg_mask, subgoal_mask), 2, 200))
             particle_den_seq.append(particle_num)
 
         raw_obs[i + 1] = obs_cur
