@@ -7,10 +7,12 @@ planner optimize iterations, each = pusher model + GNN graph build +
 64 action samples x 30 state hypotheses at N=100 particles).
 
 vs_baseline: the reference's own fitted iteration-time model
-(planners.py:25-28, calibrated at batch 300 on its single-GPU setup) gives
-300 rollouts / 72.4 ms = 4,144 rollouts/s at N=100 — the number its MPC
-uses to budget iterations. BASELINE.md records that the repo publishes no
-benchmark tables.
+(planners.py:25-28) predicts 72.4 ms/iteration at N=100; its production
+MPC runs 50 samples x 30 hypotheses = 1500 rollouts per iteration with
+that budget, i.e. 20,718 rollouts/s. (The model's comment says it was fit
+at batch 300, which would make the reference 5x slower per rollout — we
+use the conservative production-batch interpretation.) BASELINE.md records
+that the repo publishes no benchmark tables.
 
 extras.fused_sim_render_particle_steps_per_sec_4k — PBD frame (2 substeps
 x 12 iterations) + fused 720^2 RGBD render at ~4k particles (the reference
@@ -23,8 +25,8 @@ import time
 
 import numpy as np
 
-REF_MPC_ROLLOUTS_PER_SEC = 300.0 / ((2969.3971 - 69.923244 * 100
-                                     + 1.8509846 * 100 ** 2) / 200.0 / 1000.0)
+REF_MPC_ROLLOUTS_PER_SEC = 1500.0 / ((2969.3971 - 69.923244 * 100
+                                      + 1.8509846 * 100 ** 2) / 200.0 / 1000.0)
 REF_SIM_PARTICLE_STEPS_PER_SEC = 2.0e6
 
 

@@ -127,7 +127,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
                        < FG_THRESHOLD).astype(np.float32)
             subgoal_mask = (subgoal < 0.5).astype(np.float32)
             particle_num = int(np.clip(
-            res_rgr.infer_param(fg_mask, subgoal_mask), 2, 200))
+                res_rgr.infer_param(fg_mask, subgoal_mask), 2, 200))
             particle_den_seq.append(particle_num)
 
         raw_obs[i + 1] = obs_cur
