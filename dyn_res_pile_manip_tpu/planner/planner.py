@@ -185,11 +185,8 @@ class PlannerGD:
         def body(carry, _):
             acts, opt_state, best_r, best_traj, best_act = carry
             (_, r), g = jax.value_and_grad(loss_fn, has_aux=True)(acts)
-            updates, opt_state = optimizer.update(g, opt_state)
-            acts = optax.apply_updates(acts, updates)
-            acts = jnp.clip(acts, lims_lo[None, None, :],
-                            lims_hi[None, None, :])
-            # track best action per state hypothesis (planners.py:721-727)
+            # track best action per state hypothesis BEFORE the update, on
+            # the actions the rewards were computed for (planners.py:721-727)
             r_sb = r.reshape(n_sample, n_batch)
             cur_max = jnp.max(r_sb, axis=0)
             cur_idx = jnp.argmax(r_sb, axis=0)
@@ -199,6 +196,10 @@ class PlannerGD:
             sel = acts.reshape(n_sample, n_batch, n_act, -1)[
                 cur_idx, jnp.arange(n_batch)]
             best_act = jnp.where(improved[:, None, None], sel, best_act)
+            updates, opt_state = optimizer.update(g, opt_state)
+            acts = optax.apply_updates(acts, updates)
+            acts = jnp.clip(acts, lims_lo[None, None, :],
+                            lims_hi[None, None, :])
             stats = (jnp.mean(r), jnp.std(r))
             return (acts, opt_state, best_r, best_traj, best_act), stats
 
