@@ -57,7 +57,7 @@ class GPParamOpt:
 
     def param_eval_fn(self, particle_num):
         particle_num = int(particle_num[0])
-        test_repeat = 5
+        test_repeat = self.config["mpc_data"].get("test_repeat", 5)
         res = np.zeros(test_repeat)
         first_rew = 0.0
         for i in range(test_repeat):
