@@ -20,9 +20,10 @@ def main():
                                "nf_effect": 64, "adj_thresh": 0.08,
                                "add_delta": False}},
     })
-    # fixed run dir so the demo can find the checkpoint
-    import dyn_res_pile_manip_tpu.utils.config as cfg_mod
-    cfg_mod.timestamp_dir_name = lambda: "demo"
+    # fixed run dir so the demo can find the checkpoint (patch the symbol
+    # train_gnn_dyn actually calls, not the defining module's)
+    import dyn_res_pile_manip_tpu.train.train_gnn_dyn as tgd
+    tgd.timestamp_dir_name = lambda: "demo"
     train(cfg)
 
 
