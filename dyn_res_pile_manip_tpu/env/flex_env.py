@@ -38,7 +38,7 @@ def intersect(a, b, c, d):
     return _ccw(a, c, d) != _ccw(b, c, d) and _ccw(a, b, c) != _ccw(a, b, d)
 
 
-REBUILD_EVERY = 2  # frames per neighbor-cache build (margin-covered)
+REBUILD_EVERY = 2  # max frames per neighbor-cache build (margin-covered)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_dims", "n_frames"))
@@ -62,7 +62,8 @@ def _run_frames(state: SimState, params, colliders: Colliders,
 
         def run(st, cache):
             cache = jax.lax.cond(
-                (i % REBUILD_EVERY) == 0,
+                ((i % REBUILD_EVERY) == 0) | pbd.cache_stale(st, params,
+                                                             cache),
                 lambda: pbd.build_cache(st, params, grid_lower, grid_dims),
                 lambda: cache)
             col = colliders.replace(

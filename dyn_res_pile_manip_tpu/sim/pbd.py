@@ -384,7 +384,16 @@ def build_cache(state: SimState, params: SimParams,
     wj = state.invm[nbr_idx]
     onehot = group_onehot(state)
     inv_counts = 1.0 / jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
-    return (nbr_idx, nbr_ok, wj, onehot, inv_counts)
+    return (nbr_idx, nbr_ok, wj, onehot, inv_counts, state.x)
+
+
+def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
+    """True when any particle moved more than half the collision-margin
+    slack since the cache was built (pairs approach from both sides)."""
+    x_build = cache[5]
+    disp = jnp.max(jnp.where(state.active[:, None],
+                             jnp.abs(state.x - x_build), 0.0))
+    return disp > 0.5 * params.particle_collision_margin
 
 
 @functools.partial(jax.jit,
@@ -405,7 +414,7 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
 
     if cache is None:
         cache = build_cache(state, params, grid_lower, grid_dims, k)
-    nbr_idx, nbr_ok, wj, onehot, inv_counts = cache
+    nbr_idx, nbr_ok, wj, onehot, inv_counts = cache[:5]
     wi = state.invm
 
     def substep(carry, _):
@@ -414,8 +423,10 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
         v = st.v + sdt * gravity * params.gravity_y
         v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
         speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        v = v * jnp.minimum(1.0, params.max_speed
-                            / jnp.maximum(speed, 1e-9))
+        # cap displacement per substep at the interaction radius so motion
+        # can never outrun the neighbor cache's collision margin
+        vcap = jnp.minimum(params.max_speed, params.radius / sdt)
+        v = v * jnp.minimum(1.0, vcap / jnp.maximum(speed, 1e-9))
         v = jnp.where(free[:, None], v, 0.0)
         x0 = st.x
         xp = x0 + sdt * v
