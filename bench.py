@@ -102,22 +102,22 @@ def bench_sim_render():
 
     @functools.partial(jax.jit, static_argnames=("frames",))
     def run(st, frames: int):
-        cache0 = pbd.build_cache(st, sp, lower, dims)
+        st, cache0 = pbd.build_cache(st, sp)
 
         def body(carry, i):
             st, cache, acc = carry
-            cache = jax.lax.cond(
-                (i % 2) == 0,
-                lambda: pbd.build_cache(st, sp, lower, dims),
-                lambda: cache)
-            st = pbd.step_frame(st, sp, col, lower, dims, cache=cache)
+            st, cache = jax.lax.cond(
+                ((i % 2) == 0) | pbd.cache_stale(st, sp, cache),
+                lambda: pbd.build_cache(st, sp),
+                lambda: (st, cache))
+            st = pbd.step_frame(st, sp, col, cache=cache)
             obs = raster.render_rgbd(st.x, st.active, col, cvw,
                                      fx, fy, cx, cy, color, rdraw)
             return (st, cache, acc + obs[::173, ::173, 4].sum()), None
         (st, _, acc), _ = jax.lax.scan(
             body, (st, cache0, jnp.float32(0)), jnp.arange(frames),
             length=frames)
-        return st, acc
+        return pbd.unsort_state(st), acc
 
     frames = 60
     st, acc = run(state, frames)

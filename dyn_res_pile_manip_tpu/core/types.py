@@ -84,6 +84,9 @@ class SimState(struct.PyTreeNode):
     active: jnp.ndarray
     rest: jnp.ndarray
     group_quat: jnp.ndarray
+    # original particle ids when the state is in solver (x-sorted) order;
+    # None = external order. sim.pbd.sort_state / unsort_state maintain it.
+    order: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:

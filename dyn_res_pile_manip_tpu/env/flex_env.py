@@ -49,7 +49,7 @@ def _run_frames(state: SimState, params, colliders: Colliders,
     neighbor cache is rebuilt every REBUILD_EVERY frames (the solver's
     collision margin covers the intervening motion)."""
     half = jnp.asarray(pusher.pusher_half_extents())
-    cache0 = pbd.build_cache(state, params, grid_lower, grid_dims)
+    state, cache0 = pbd.build_cache(state, params)
 
     def frame(carry, inputs):
         st, cache = carry
@@ -61,19 +61,18 @@ def _run_frames(state: SimState, params, colliders: Colliders,
         asleep = (jnp.max(jnp.abs(st.v)) == 0.0) & ~act & ((i % 8) != 0)
 
         def run(st, cache):
-            cache = jax.lax.cond(
+            st, cache = jax.lax.cond(
                 ((i % REBUILD_EVERY) == 0) | pbd.cache_stale(st, params,
                                                              cache),
-                lambda: pbd.build_cache(st, params, grid_lower, grid_dims),
-                lambda: cache)
+                lambda: pbd.build_cache(st, params),
+                lambda: (st, cache))
             col = colliders.replace(
                 box_center=colliders.box_center.at[0].set(c),
                 box_half=colliders.box_half.at[0].set(half),
                 box_yaw=colliders.box_yaw.at[0].set(yw),
                 box_active=colliders.box_active.at[0].set(act),
                 box_vel=colliders.box_vel.at[0].set(vl))
-            st = pbd.step_frame(st, params, col, grid_lower, grid_dims,
-                                cache=cache)
+            st = pbd.step_frame(st, params, col, cache=cache)
             return st, cache
 
         st, cache = jax.lax.cond(asleep, lambda s, ch: (s, ch), run,
@@ -85,7 +84,7 @@ def _run_frames(state: SimState, params, colliders: Colliders,
         frame, (state, cache0),
         (idx, push_center, push_yaw, push_vel, push_active),
         length=n_frames)
-    return state
+    return pbd.unsort_state(state)
 
 
 class FlexEnv:

@@ -311,7 +311,8 @@ def set_scene(scene_idx: int, scene_params: np.ndarray, seed: int = 0,
         x=jnp.asarray(x), v=jnp.zeros((cap, 3), jnp.float32),
         invm=jnp.asarray(invm), group=jnp.asarray(group),
         active=jnp.asarray(active), rest=jnp.asarray(rest),
-        group_quat=jnp.asarray(quat))
+        group_quat=jnp.asarray(quat),
+        order=jnp.arange(cap, dtype=jnp.int32))
     return state, build.params, build
 
 

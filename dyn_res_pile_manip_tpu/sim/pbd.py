@@ -153,7 +153,7 @@ def _quat_mul(a, b):
 
 
 def extract_rotation(A: jnp.ndarray, q0: jnp.ndarray,
-                     iters: int = 8) -> jnp.ndarray:
+                     iters: int = 4) -> jnp.ndarray:
     """Warm-started quaternion polar decomposition (Mueller et al. 2016,
     'A Robust Method to Extract the Rotational Part of Deformations').
 
@@ -310,7 +310,192 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
 
 
 # ---------------------------------------------------------------------------
-# contacts
+# sorted-window contacts (the production path)
+# ---------------------------------------------------------------------------
+#
+# TPU gathers run at ~10-50M rows/s, so any per-iteration neighbor gather
+# caps the solver far below MXU/VPU speed (PERFORMANCE.md). Instead the
+# solver keeps the particle state x-SORTED between cache rebuilds: every
+# true neighbor of particle i then lives within +-TILE positions of i in
+# the sorted array (as long as fewer than TILE particles occupy any
+# x-slab of one interaction radius — checked by ``window_ok`` below), so
+# the candidate set for a tile of TILE consecutive particles is just the
+# previous/own/next tile: THREE TILE SHIFTS of the state array. Zero
+# gathers, zero scatters per iteration; validity is recomputed from
+# current distances every sweep, so the "cache" is only the sort order.
+# Candidates beyond the window are dropped like FleX's own
+# maxNeighborsPerParticle=96 cap drops far candidates (pyflex.cpp:738).
+
+TILE = 128        # sorted-slot tile; window = W_TILES tiles around own tile
+W_TIERS = (3, 5, 9)  # coverage +-128 / +-256 / +-512 sorted slots
+_PAD_POS = 1.0e6  # halo padding position: far but finite (no inf-NaN paths)
+
+
+def _window(arr: jnp.ndarray, fill, w_tiles: int = 3) -> jnp.ndarray:
+    """(N, ...) -> (N//TILE, w_tiles*TILE, ...): the w_tiles tiles centered
+    on each tile, edge tiles padded with ``fill``."""
+    nt = arr.shape[0] // TILE
+    a = arr.reshape((nt, TILE) + arr.shape[1:])
+    h = (w_tiles - 1) // 2
+    parts = []
+    for s in range(-h, h + 1):
+        if s < 0:
+            p = jnp.concatenate([jnp.full_like(a[:(-s)], fill), a[:s]], 0)
+        elif s > 0:
+            p = jnp.concatenate([a[s:], jnp.full_like(a[:s], fill)], 0)
+        else:
+            p = a
+        parts.append(p)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _mid_slice(win: jnp.ndarray, w_tiles: int) -> jnp.ndarray:
+    """Center w_tiles*TILE columns of a cached W_TIERS[-1]-wide window."""
+    wmax = W_TIERS[-1]
+    lo = (wmax - w_tiles) // 2 * TILE
+    return win[:, lo:lo + w_tiles * TILE]
+
+
+def _pair_static_mask(cache: dict, w_tiles: int) -> jnp.ndarray:
+    """(nt, T, w_tiles*T) slice of the cached frame-invariant pair validity
+    (halo padding, both-active, same-rigid-group exclusion, self)."""
+    wmax = W_TIERS[-1]
+    lo = (wmax - w_tiles) // 2 * TILE
+    return cache["pair_ok"][:, :, lo:lo + w_tiles * TILE]
+
+
+def principal_axis(x: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Dominant eigenvector of the active-position covariance (power
+    iteration, seed jittered from the positions so adversarial alignment
+    cannot persist across rebuilds). Sorting along this axis minimizes the
+    worst-case slot-window occupancy: tall drop columns sort by height,
+    settled piles by their widest ground direction."""
+    hi = jax.lax.Precision.HIGHEST
+    xa = jnp.where(active[:, None], x, 0.0)
+    n = jnp.maximum(jnp.sum(active.astype(jnp.float32)), 1.0)
+    mu = jnp.sum(xa, axis=0) / n
+    xc = jnp.where(active[:, None], x - mu, 0.0)
+    cov = jnp.matmul(xc.T, xc, precision=hi) / n
+    wob = jnp.sum(x[0]) * 7919.0
+    j = wob - jnp.floor(wob)
+    v = jnp.array([1.0, 0.6, 0.8]) + j * jnp.array([0.13, 0.41, -0.23])
+    v = v / jnp.linalg.norm(v)
+    for _ in range(8):
+        v = cov @ v + 1e-7 * v
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    return v
+
+
+def sort_state(state: SimState, axis: jnp.ndarray | None = None) -> SimState:
+    """Sort per-particle arrays along ``axis`` (default: principal axis;
+    inactive parked past the end), tracking original ids in
+    ``state.order``."""
+    n = state.x.shape[0]
+    if axis is None:
+        axis = principal_axis(state.x, state.active)
+    key = jnp.where(state.active, state.x @ axis, jnp.float32(3e38))
+    perm = jnp.argsort(key)
+    order = (state.order if state.order is not None
+             else jnp.arange(n, dtype=jnp.int32))
+    return state.replace(
+        x=state.x[perm], v=state.v[perm], invm=state.invm[perm],
+        group=state.group[perm], active=state.active[perm],
+        rest=state.rest[perm], order=order[perm])
+
+
+def unsort_state(state: SimState) -> SimState:
+    """Restore original particle order (inverse of sort_state)."""
+    if state.order is None:
+        return state
+    o = state.order
+
+    def unperm(a):
+        return jnp.zeros_like(a).at[o].set(a)
+
+    n = state.x.shape[0]
+    return state.replace(
+        x=unperm(state.x), v=unperm(state.v), invm=unperm(state.invm),
+        group=unperm(state.group), active=unperm(state.active),
+        rest=unperm(state.rest), order=jnp.arange(n, dtype=jnp.int32))
+
+
+def _rows(arr: jnp.ndarray, color) -> jnp.ndarray:
+    """Tile rows of one color: (nt, ...) -> (nt//2, ...); None = all."""
+    if color is None:
+        return arr
+    nt = arr.shape[0]
+    return arr.reshape((nt // 2, 2) + arr.shape[1:])[:, color]
+
+
+def solve_contacts_window(xp: jnp.ndarray, x0: jnp.ndarray,
+                          x0w: jnp.ndarray, wi: jnp.ndarray,
+                          active: jnp.ndarray, group: jnp.ndarray,
+                          cache: dict, params: SimParams,
+                          w_tiles: int = 3, color=None) -> jnp.ndarray:
+    """One sweep of pairwise distance constraints + Coulomb friction +
+    shock propagation over the sorted window (all-pairs within the w_tiles
+    tiles around each tile). Same constraint math as FleX's granular
+    contact solve (NvFlexParams semantics, NvFlex.h:95-154), reformulated
+    so the candidate tensor is built by tile shifts instead of gathers.
+
+    color None updates every tile (Jacobi); color 0/1 updates only
+    even/odd tiles against the full current window (red-black
+    Gauss-Seidel: half the pair work per sweep, fresher neighbor
+    positions). active/group are unused (folded into the cached static
+    pair mask) and kept for signature stability.
+    """
+    nt = xp.shape[0] // TILE
+    rest_d = params.radius
+    xw = _rows(_window(xp, _PAD_POS, w_tiles), color)  # (rows, W*T, 3)
+    a = _rows(xp.reshape(nt, TILE, 3), color)          # (rows, T, 3)
+    diff = a[:, :, None, :] - xw[:, None, :, :]        # (rows, T, W*T, 3)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    inv_dist = jax.lax.rsqrt(jnp.maximum(d2, 1e-18))
+    pen = rest_d - d2 * inv_dist
+
+    # static pair validity (halo padding, active, same-group, self) is
+    # precomputed once per cache build at full width and sliced here
+    contact = (pen > 0) & _rows(_pair_static_mask(cache, w_tiles), color)
+    nrm = diff * inv_dist[..., None]
+
+    # shock propagation: the lower particle of a contact becomes heavier so
+    # corrections propagate up the stack (NvFlexParams::shockPropagation).
+    # ratio = wi_eff/(wi_eff+wj_eff) collapses to a single exp:
+    # wi / (wi + wj * e^{k h}) for any sign of h.
+    h = (xw[..., 1][:, None, :] - a[..., 1][:, :, None]) / rest_d
+    wjk = _rows(_mid_slice(cache["wj"], w_tiles), color)[:, None, :] \
+        * jnp.exp(jnp.minimum(params.shock_propagation * h, 60.0))
+    wit = _rows(wi.reshape(nt, TILE), color)[:, :, None]
+    ratio = wit / jnp.maximum(wit + wjk, 1e-9)
+
+    push = (ratio * pen)[..., None] * nrm
+
+    # friction: relative tangential displacement this substep
+    dmove = (_rows((xp - x0).reshape(nt, TILE, 3), color)[:, :, None, :]
+             - (xw - _rows(x0w, color))[:, None, :, :])
+    dt_tan = dmove - jnp.sum(dmove * nrm, -1, keepdims=True) * nrm
+    t2 = jnp.sum(dt_tan * dt_tan, axis=-1, keepdims=True)
+    inv_tan = jax.lax.rsqrt(jnp.maximum(t2, 1e-18))
+    tan_len = t2 * inv_tan
+    static_ok = tan_len < params.static_friction * pen[..., None]
+    scale = jnp.where(
+        static_ok, 1.0,
+        jnp.minimum(1.0, params.dynamic_friction * pen[..., None] * inv_tan))
+    fric = -dt_tan * scale * ratio[..., None]
+
+    delta = jnp.where(contact[..., None], push + fric, 0.0)
+    cnt = jnp.sum(contact, axis=2)                     # (rows, T)
+    dx = jnp.sum(delta, axis=2) / jnp.maximum(cnt, 1)[..., None]
+    new = a + params.relaxation_factor * dx
+    if color is None:
+        return new.reshape(-1, 3)
+    xr = xp.reshape(nt // 2, 2, TILE, 3)
+    parts = [new if c == color else xr[:, c] for c in (0, 1)]
+    return jnp.stack(parts, axis=1).reshape(-1, 3)
+
+
+# ---------------------------------------------------------------------------
+# contacts (legacy gather-based path, kept for brute-force parity tests)
 # ---------------------------------------------------------------------------
 
 def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
@@ -371,93 +556,166 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_cache(state: SimState, params: SimParams,
-                grid_lower: jnp.ndarray, grid_dims: Tuple[int, int, int],
-                k: int = 24):
-    """Neighbor lists + frame-invariant gathers. The search margin
-    (particle_collision_margin, NvFlex.h) lets one build serve
-    ``rebuild_every`` frames, amortizing the TPU-hostile gather phase
-    (FleX likewise amortizes its grid build across the solver update)."""
-    search_r = params.radius + params.particle_collision_margin
-    nbr_idx, nbr_ok = find_neighbors(
-        state.x, state.active, state.group, search_r, grid_lower,
-        grid_dims, k)
-    wj = state.invm[nbr_idx]
+                grid_lower=None, grid_dims=None, k: int = None):
+    """Sort the state by x and precompute the frame-invariant windows
+    (inverse masses, validity, group ids of the prev/own/next tiles) plus
+    the rigid-group one-hot. Returns ``(sorted_state, cache)``.
+
+    grid_lower / grid_dims / k are accepted for call-site compatibility
+    with the legacy hash-grid cache and ignored — the sorted-window
+    formulation needs no grid. FleX likewise amortizes its grid build
+    across the solver update (pyflex.cpp:2045)."""
+    axis = principal_axis(state.x, state.active)
+    state = sort_state(state, axis)
     onehot = group_onehot(state)
     inv_counts = 1.0 / jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
-    return (nbr_idx, nbr_ok, wj, onehot, inv_counts, state.x)
+
+    # tier selection: the narrowest window whose slot coverage holds every
+    # candidate within one search radius along the sort axis
+    # (|axis . dp| <= |dp| < wsearch for any true neighbor pair)
+    wsearch = params.radius + 2.0 * params.particle_collision_margin
+    key = jnp.where(state.active, state.x @ axis, jnp.float32(3e38))
+
+    def cov_ok(slots: int) -> jnp.ndarray:
+        if slots >= key.shape[0]:
+            return jnp.bool_(True)  # window spans the whole array
+        ahead = jnp.concatenate(
+            [key[slots:], jnp.full((slots,), jnp.float32(3.4e38))])
+        # inactive rows (parked at the sorted tail) need no coverage
+        return jnp.all((ahead - key > wsearch) | ~state.active)
+
+    oks = [cov_ok((w - 1) // 2 * TILE) for w in W_TIERS]
+    sel = jnp.where(oks[0], 0, jnp.where(oks[1], 1, 2)).astype(jnp.int32)
+    wmax = W_TIERS[-1]
+
+    # frame-invariant pair validity at full width, sliced per tier
+    nt = state.x.shape[0] // TILE
+    okw = _window(state.active, False, wmax)           # (nt, Wmax*T)
+    gw = _window(state.group, -2, wmax)
+    gi = state.group.reshape(nt, TILE)
+    same = (gi[:, :, None] == gw[:, None, :]) & (gi[:, :, None] >= 0)
+    widx = jnp.arange(wmax * TILE)
+    self_m = (widx[None, None, :]
+              == ((wmax - 1) // 2 * TILE
+                  + jnp.arange(TILE))[None, :, None])
+    pair_ok = (okw[:, None, :]
+               & state.active.reshape(nt, TILE)[:, :, None]
+               & ~same & ~self_m)
+
+    cache = {
+        "x_build": state.x,
+        "wj": _window(state.invm, 0.0, wmax),
+        "pair_ok": pair_ok,
+        "onehot": onehot,
+        "inv_counts": inv_counts,
+        "sel": sel,
+        "window_ok": oks[-1],   # diagnostic: even the widest tier covered?
+    }
+    return state, cache
 
 
 def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
     """True when any particle moved more than half the collision-margin
     slack since the cache was built (pairs approach from both sides)."""
-    x_build = cache[5]
+    x_build = cache["x_build"]
     disp = jnp.max(jnp.where(state.active[:, None],
                              jnp.abs(state.x - x_build), 0.0))
     return disp > 0.5 * params.particle_collision_margin
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("grid_dims", "k"))
+@jax.jit
+def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
+                 cache: dict) -> SimState:
+    """One display frame on a sorted state (see step_frame). The window
+    tier chosen at cache-build time selects one of three compiled frame
+    bodies via lax.switch."""
+    sdt = jnp.float32(params.dt / params.num_substeps)
+    gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    onehot, inv_counts = cache["onehot"], cache["inv_counts"]
+    wi = state.invm
+
+    def frame_body(w_tiles: int, state: SimState) -> SimState:
+        def substep(carry, _):
+            st, quat = carry
+            free = st.invm > 0
+            v = st.v + sdt * gravity * params.gravity_y
+            v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
+            speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
+            # cap displacement per substep at the interaction radius so
+            # motion can never outrun the sort's collision margin
+            vcap = jnp.minimum(params.max_speed, params.radius / sdt)
+            v = v * jnp.minimum(1.0, vcap / jnp.maximum(speed, 1e-9))
+            v = jnp.where(free[:, None], v, 0.0)
+            x0 = st.x
+            xp = x0 + sdt * v
+            # substep-invariant friction anchor
+            x0w = _window(x0, _PAD_POS, w_tiles)
+
+            def round_(xp, quat, colors):
+                # red-black Gauss-Seidel: the second color projects against
+                # the freshly-updated first — half the pair work of a full
+                # Jacobi sweep at better per-round convergence
+                for color in colors:
+                    xp = solve_contacts_window(xp, x0, x0w, wi, st.active,
+                                               st.group, cache, params,
+                                               w_tiles, color=color)
+                xp = collide_static(xp, x0, colliders, params, sdt)
+                xp, quat = shape_match(xp, st, params, quat, onehot,
+                                       inv_counts)
+                return xp, quat
+
+            def iteration(carry, _):
+                xp, quat = carry
+                # color order alternates between rounds so the sweep-order
+                # bias along the sort axis cancels (symmetric GS)
+                xp, quat = round_(xp, quat, (0, 1))
+                xp, quat = round_(xp, quat, (1, 0))
+                return (xp, quat), None
+
+            n_pairs = max(1, params.num_iterations // 4)
+            (xp, quat), _ = jax.lax.scan(
+                iteration, (xp, quat), None, length=n_pairs)
+
+            v_new = (xp - x0) / sdt
+            # sleeping: kill sub-threshold velocities to stop creep
+            vmag = jnp.linalg.norm(v_new, axis=-1, keepdims=True)
+            v_new = jnp.where(vmag < params.sleep_threshold, 0.0, v_new)
+            v_new = jnp.where(free[:, None], v_new, 0.0)
+            xp = jnp.where(free[:, None], xp, x0)
+            st = st.replace(x=xp, v=v_new)
+            return (st, quat), None
+
+        (state, quat), _ = jax.lax.scan(
+            substep, (state, state.group_quat), None,
+            length=params.num_substeps, unroll=params.num_substeps)
+        return state.replace(group_quat=quat)
+
+    return jax.lax.switch(
+        cache["sel"], [functools.partial(frame_body, w) for w in W_TIERS],
+        state)
+
+
 def step_frame(state: SimState, params: SimParams, colliders: Colliders,
-               grid_lower: jnp.ndarray,
-               grid_dims: Tuple[int, int, int], k: int = 24,
+               grid_lower=None, grid_dims=None, k: int = 24,
                cache=None) -> SimState:
     """Advance one display frame (dt = 1/60): num_substeps x
-    (integrate -> neighbors -> num_iterations projections -> velocities).
+    (integrate -> num_iterations projection sweeps -> velocities).
 
     Mirrors UpdateFrame -> NvFlexUpdateSolver(g_dt, g_numSubsteps)
     (pyflex.cpp:1857-2115, 2045). Kinematic colliders (pusher) must already
     carry their per-frame pose + velocity in ``colliders``.
+
+    With ``cache=None`` the state may be in any order: it is sorted,
+    stepped, and restored (one-shot callers, tests). With a cache from
+    build_cache the state MUST already be in that cache's sorted order and
+    is returned sorted (the env's scan carries sorted state across frames
+    and unsorts once per push).
     """
-    sdt = jnp.float32(params.dt / params.num_substeps)
-    gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-
     if cache is None:
-        cache = build_cache(state, params, grid_lower, grid_dims, k)
-    nbr_idx, nbr_ok, wj, onehot, inv_counts = cache[:5]
-    wi = state.invm
-
-    def substep(carry, _):
-        st, quat = carry
-        free = st.invm > 0
-        v = st.v + sdt * gravity * params.gravity_y
-        v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
-        speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
-        # cap displacement per substep at the interaction radius so motion
-        # can never outrun the neighbor cache's collision margin
-        vcap = jnp.minimum(params.max_speed, params.radius / sdt)
-        v = v * jnp.minimum(1.0, vcap / jnp.maximum(speed, 1e-9))
-        v = jnp.where(free[:, None], v, 0.0)
-        x0 = st.x
-        xp = x0 + sdt * v
-        x0j = x0[nbr_idx]
-
-        def iteration(carry, _):
-            xp, quat = carry
-            xp = solve_contacts(xp, x0, x0j, wi, wj, params, nbr_idx,
-                                nbr_ok, inner=CONTACT_INNER)
-            xp = collide_static(xp, x0, colliders, params, sdt)
-            xp, quat = shape_match(xp, st, params, quat, onehot, inv_counts)
-            return (xp, quat), None
-
-        # CONTACT_INNER projections per gather round: num_iterations total
-        # constraint sweeps at reduced gather traffic
-        (xp, quat), _ = jax.lax.scan(
-            iteration, (xp, quat), None,
-            length=max(1, params.num_iterations // CONTACT_INNER))
-
-        v_new = (xp - x0) / sdt
-        # sleeping: kill sub-threshold velocities to stop creep
-        vmag = jnp.linalg.norm(v_new, axis=-1, keepdims=True)
-        v_new = jnp.where(vmag < params.sleep_threshold, 0.0, v_new)
-        v_new = jnp.where(free[:, None], v_new, 0.0)
-        xp = jnp.where(free[:, None], xp, x0)
-        st = st.replace(x=xp, v=v_new)
-        return (st, quat), None
-
-    (state, quat), _ = jax.lax.scan(substep, (state, state.group_quat), None,
-                                    length=params.num_substeps)
-    return state.replace(group_quat=quat)
+        state, cache = build_cache(state, params)
+        state = _step_sorted(state, params, colliders, cache)
+        return unsort_state(state)
+    return _step_sorted(state, params, colliders, cache)
 
 
 def default_grid(global_scale: float = 24.0, cell_size: float = 0.075 * 1.25):
