@@ -100,17 +100,21 @@ def bench_sim_render():
     color = jnp.asarray(build.color, jnp.float32)
     rdraw = jnp.float32(float(sp.radius) * 0.5)
 
+    use_pallas = pbd.resolve_pallas(state)
+
     @functools.partial(jax.jit, static_argnames=("frames",))
     def run(st, frames: int):
-        st, cache0 = pbd.build_cache(st, sp)
+        st, cache0 = pbd.build_cache(st, sp, with_pair_mask=not use_pallas)
 
         def body(carry, i):
             st, cache, acc = carry
             st, cache = jax.lax.cond(
                 ((i % 2) == 0) | pbd.cache_stale(st, sp, cache),
-                lambda: pbd.build_cache(st, sp),
+                lambda: pbd.build_cache(st, sp,
+                                        with_pair_mask=not use_pallas),
                 lambda: (st, cache))
-            st = pbd.step_frame(st, sp, col, cache=cache)
+            st = pbd.step_frame(st, sp, col, cache=cache,
+                                use_pallas=use_pallas)
             obs = raster.render_rgbd(st.x, st.active, col, cvw,
                                      fx, fy, cx, cy, color, rdraw)
             return (st, cache, acc + obs[::173, ::173, 4].sum()), None

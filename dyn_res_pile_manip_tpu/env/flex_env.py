@@ -41,15 +41,18 @@ def intersect(a, b, c, d):
 REBUILD_EVERY = 2  # max frames per neighbor-cache build (margin-covered)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_dims", "n_frames"))
+@functools.partial(jax.jit,
+                   static_argnames=("grid_dims", "n_frames", "use_pallas"))
 def _run_frames(state: SimState, params, colliders: Colliders,
                 push_center, push_yaw, push_vel, push_active,
-                grid_lower, grid_dims, n_frames: int) -> SimState:
+                grid_lower, grid_dims, n_frames: int,
+                use_pallas: bool = False) -> SimState:
     """scan ``n_frames`` sim frames with per-frame pusher poses; the
     neighbor cache is rebuilt every REBUILD_EVERY frames (the solver's
     collision margin covers the intervening motion)."""
     half = jnp.asarray(pusher.pusher_half_extents())
-    state, cache0 = pbd.build_cache(state, params)
+    state, cache0 = pbd.build_cache(state, params,
+                                    with_pair_mask=not use_pallas)
 
     def frame(carry, inputs):
         st, cache = carry
@@ -64,7 +67,8 @@ def _run_frames(state: SimState, params, colliders: Colliders,
             st, cache = jax.lax.cond(
                 ((i % REBUILD_EVERY) == 0) | pbd.cache_stale(st, params,
                                                              cache),
-                lambda: pbd.build_cache(st, params),
+                lambda: pbd.build_cache(st, params,
+                                        with_pair_mask=not use_pallas),
                 lambda: (st, cache))
             col = colliders.replace(
                 box_center=colliders.box_center.at[0].set(c),
@@ -72,7 +76,8 @@ def _run_frames(state: SimState, params, colliders: Colliders,
                 box_yaw=colliders.box_yaw.at[0].set(yw),
                 box_active=colliders.box_active.at[0].set(act),
                 box_vel=colliders.box_vel.at[0].set(vl))
-            st = pbd.step_frame(st, params, col, cache=cache)
+            st = pbd.step_frame(st, params, col, cache=cache,
+                                use_pallas=use_pallas)
             return st, cache
 
         st, cache = jax.lax.cond(asleep, lambda s, ch: (s, ch), run,
@@ -168,6 +173,7 @@ class FlexEnv:
 
         state, sim_params, build = scene.set_scene(idx, self.scene_params,
                                                    seed=seed)
+        self._use_pallas = pbd.resolve_pallas(state)
         self.state = state
         self.sim_params = sim_params
         self.scene_build = build
@@ -189,7 +195,8 @@ class FlexEnv:
             self.state, self.sim_params, colliders,
             jnp.asarray(park), jnp.zeros((t,), jnp.float32),
             jnp.zeros((t, 3), jnp.float32), jnp.zeros((t,), bool),
-            self._grid_lower, self._grid_dims, t)
+            self._grid_lower, self._grid_dims, t,
+            use_pallas=self._use_pallas)
 
     # ------------------------------------------------------------------- step
     def step(self, action, video_recorder=None, add_cam_idx=None):
@@ -206,7 +213,8 @@ class FlexEnv:
                 self.state, self.sim_params, self.colliders,
                 jnp.asarray(plan.center), jnp.asarray(plan.yaw),
                 jnp.asarray(plan.vel), jnp.asarray(plan.active),
-                self._grid_lower, self._grid_dims, plan.n_frames)
+                self._grid_lower, self._grid_dims, plan.n_frames,
+                use_pallas=self._use_pallas)
         else:
             # chunked execution so intermediate frames can be captured
             # (reference writes per sim frame, flex_env.py:308-314)
@@ -221,7 +229,8 @@ class FlexEnv:
                     jnp.asarray(plan.yaw[s0:s1]),
                     jnp.asarray(plan.vel[s0:s1]),
                     jnp.asarray(plan.active[s0:s1]),
-                    self._grid_lower, self._grid_dims, s1 - s0)
+                    self._grid_lower, self._grid_dims, s1 - s0,
+                    use_pallas=self._use_pallas)
                 frame = self._raster_with_pusher(
                     plan, min(s1, plan.n_frames - 1))
                 for rec in recs:

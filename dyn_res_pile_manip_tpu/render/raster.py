@@ -142,6 +142,11 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
         0, colliders.cap_p0.shape[0], cap_body, (bg_depth, bg_rgb))
 
     # ---------------- particles: sphere splats -----------------------------
+    # ONE packed scatter-min fragment per particle (z in the top bits wins;
+    # 5-bit subpixel offsets ride along), then a dense 5x5 shifted-window
+    # min pass expands each center into its sphere footprint. TPU scatters
+    # run at ~10-50M rows/s, so fragments-per-particle is the renderer's
+    # cost; the dense expansion is VPU-cheap.
     n = x.shape[0]
     homo = jnp.concatenate([x, jnp.ones((n, 1))], axis=1)
     cam = homo @ cv_from_world.T                               # (N,4)
@@ -151,43 +156,52 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     v = yc * fy / jnp.maximum(zc, 1e-6) + cy
     u0 = jnp.round(u).astype(jnp.int32)
     v0 = jnp.round(v).astype(jnp.int32)
+    su = jnp.clip((u - u0.astype(jnp.float32) + 0.5) * 31.0, 0, 31
+                  ).astype(jnp.int32)
+    sv = jnp.clip((v - v0.astype(jnp.float32) + 0.5) * 31.0, 0, 31
+                  ).astype(jnp.int32)
 
-    offs = jnp.arange(SPLAT) - SPLAT // 2
-    du, dv = jnp.meshgrid(offs, offs, indexing="ij")
-    du = du.ravel()[None, :]                                   # (1,S2)
-    dv = dv.ravel()[None, :]
-    pu = u0[:, None] + du                                      # (N,S2)
-    pv = v0[:, None] + dv
-    # lateral offset of each pixel's ray at the sphere's depth
-    ox = (pu.astype(jnp.float32) - cx) * zc[:, None] / fx - xc[:, None]
-    oy = (pv.astype(jnp.float32) - cy) * zc[:, None] / fy - yc[:, None]
-    r2 = draw_radius * draw_radius
-    d2 = ox * ox + oy * oy
-    inside = d2 < r2
-    bulge = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-    zpix = zc[:, None] - bulge
-    okpix = (inside & vis[:, None] & (pu >= 0) & (pu < W)
-             & (pv >= 0) & (pv < H))
-    flat = jnp.where(okpix, pv * W + pu, H * W)                # (N,S2)
-
-    # one packed scatter-min carries both depth (22 bits) and the splat's
-    # shading (8 bits): TPU scatters are the renderer's bottleneck
-    shade = 0.45 + 0.55 * (bulge / draw_radius)
     depth_cap = jnp.float32(40.0)
-    dq = jnp.clip(zpix / depth_cap, 0.0, 1.0) * ((1 << 22) - 1)
-    sq = jnp.clip(shade * 255.0, 0.0, 255.0).astype(jnp.int32)
-    packed = dq.astype(jnp.int32) * 256 + (255 - sq)
-    pbuf = jnp.full((H * W + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    pbuf = pbuf.at[flat.ravel()].min(
-        jnp.where(okpix, packed, jnp.iinfo(jnp.int32).max).ravel())
-
+    zq = (jnp.clip(zc / depth_cap, 0.0, 1.0)
+          * ((1 << 20) - 1)).astype(jnp.int32)
+    packed = (zq << 10) | (su << 5) | sv
+    okc = vis & (u0 >= 0) & (u0 < W) & (v0 >= 0) & (v0 < H)
+    flat = jnp.where(okc, v0 * W + u0, H * W)
+    sentinel = jnp.iinfo(jnp.int32).max
+    pbuf = jnp.full((H * W + 1,), sentinel, jnp.int32)
+    pbuf = pbuf.at[flat].min(jnp.where(okc, packed, sentinel))
     win = pbuf[:H * W].reshape(H, W)
-    hit = win != jnp.iinfo(jnp.int32).max
-    pdepth = jnp.where(
-        hit, (win // 256).astype(jnp.float32) / ((1 << 22) - 1) * depth_cap,
-        far)
-    pshade = jnp.where(hit, (255 - (win % 256)).astype(jnp.float32) / 255.0,
-                       0.0)
+
+    # dense expansion: each output pixel takes the nearest sphere surface
+    # among the 25 neighboring particle centers
+    r2 = draw_radius * draw_radius
+    pdepth = jnp.full((H, W), far)
+    pbulge = jnp.zeros((H, W))
+    half = SPLAT // 2
+    for di in range(-half, half + 1):
+        for dj in range(-half, half + 1):
+            # candidate centers at pixel (i-di, j-dj) contribute to (i, j)
+            shifted = jnp.full((H, W), sentinel, jnp.int32)
+            src = win[max(0, -di):H - max(0, di),
+                      max(0, -dj):W - max(0, dj)]
+            shifted = jax.lax.dynamic_update_slice(
+                shifted, src, (max(0, di), max(0, dj)))
+            hit = shifted != sentinel
+            zcn = (shifted >> 10).astype(jnp.float32) / ((1 << 20) - 1) \
+                * depth_cap
+            sun = ((shifted >> 5) & 31).astype(jnp.float32) / 31.0 - 0.5
+            svn = (shifted & 31).astype(jnp.float32) / 31.0 - 0.5
+            ox = (di - svn) * zcn / fy   # di indexes rows = v
+            oy = (dj - sun) * zcn / fx
+            d2 = ox * ox + oy * oy
+            inside = hit & (d2 < r2)
+            bulge = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+            zpix = jnp.where(inside, zcn - bulge, far)
+            closer = zpix < pdepth
+            pdepth = jnp.where(closer, zpix, pdepth)
+            pbulge = jnp.where(closer, bulge, pbulge)
+    pshade = jnp.where(pdepth < far,
+                       0.45 + 0.55 * (pbulge / draw_radius), 0.0)
 
     particle_won = pdepth < bg_depth
     depth = jnp.where(particle_won, pdepth, bg_depth)

@@ -556,7 +556,8 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_cache(state: SimState, params: SimParams,
-                grid_lower=None, grid_dims=None, k: int = None):
+                grid_lower=None, grid_dims=None, k: int = None,
+                with_pair_mask: bool = True):
     """Sort the state by x and precompute the frame-invariant windows
     (inverse masses, validity, group ids of the prev/own/next tiles) plus
     the rigid-group one-hot. Returns ``(sorted_state, cache)``.
@@ -588,19 +589,23 @@ def build_cache(state: SimState, params: SimParams,
     sel = jnp.where(oks[0], 0, jnp.where(oks[1], 1, 2)).astype(jnp.int32)
     wmax = W_TIERS[-1]
 
-    # frame-invariant pair validity at full width, sliced per tier
+    # frame-invariant pair validity at full width, sliced per tier (used
+    # by the XLA sweep only — the Pallas kernel rebuilds it in VMEM)
     nt = state.x.shape[0] // TILE
-    okw = _window(state.active, False, wmax)           # (nt, Wmax*T)
-    gw = _window(state.group, -2, wmax)
-    gi = state.group.reshape(nt, TILE)
-    same = (gi[:, :, None] == gw[:, None, :]) & (gi[:, :, None] >= 0)
-    widx = jnp.arange(wmax * TILE)
-    self_m = (widx[None, None, :]
-              == ((wmax - 1) // 2 * TILE
-                  + jnp.arange(TILE))[None, :, None])
-    pair_ok = (okw[:, None, :]
-               & state.active.reshape(nt, TILE)[:, :, None]
-               & ~same & ~self_m)
+    if with_pair_mask:
+        okw = _window(state.active, False, wmax)       # (nt, Wmax*T)
+        gw = _window(state.group, -2, wmax)
+        gi = state.group.reshape(nt, TILE)
+        same = (gi[:, :, None] == gw[:, None, :]) & (gi[:, :, None] >= 0)
+        widx = jnp.arange(wmax * TILE)
+        self_m = (widx[None, None, :]
+                  == ((wmax - 1) // 2 * TILE
+                      + jnp.arange(TILE))[None, :, None])
+        pair_ok = (okw[:, None, :]
+                   & state.active.reshape(nt, TILE)[:, :, None]
+                   & ~same & ~self_m)
+    else:
+        pair_ok = jnp.zeros((1,), bool)
 
     cache = {
         "x_build": state.x,
@@ -623,16 +628,35 @@ def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
     return disp > 0.5 * params.particle_collision_margin
 
 
-@jax.jit
+def resolve_pallas(state: SimState) -> bool:
+    """True when the state lives on a device where the Pallas contact
+    kernel applies (anything but the interpret-only CPU backend).
+    Callable only on concrete (non-traced) states."""
+    import os
+    if os.environ.get("DYNRES_DISABLE_PALLAS"):
+        return False
+    try:
+        dev = next(iter(state.x.devices()))
+        return dev.platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
-                 cache: dict) -> SimState:
+                 cache: dict, use_pallas: bool = False) -> SimState:
     """One display frame on a sorted state (see step_frame). The window
     tier chosen at cache-build time selects one of three compiled frame
-    bodies via lax.switch."""
+    bodies via lax.switch; contacts run in the Pallas VMEM-resident
+    kernel on TPU (use_pallas) or the XLA window formulation on CPU."""
+    from . import contact_kernel as ck
+
     sdt = jnp.float32(params.dt / params.num_substeps)
     gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     onehot, inv_counts = cache["onehot"], cache["inv_counts"]
     wi = state.invm
+    scal = ck.scalars_from_params(params) if use_pallas else None
+    nt = state.x.shape[0] // TILE
 
     def frame_body(w_tiles: int, state: SimState) -> SimState:
         def substep(carry, _):
@@ -648,17 +672,32 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
             v = jnp.where(free[:, None], v, 0.0)
             x0 = st.x
             xp = x0 + sdt * v
-            # substep-invariant friction anchor
-            x0w = _window(x0, _PAD_POS, w_tiles)
+            if use_pallas:
+                packed0 = ck.make_packed(x0, wi, st.group, st.active)
+
+                def half_sweep(xp, color):
+                    p = ck.set_xp(packed0, xp)
+                    newp = ck.sweep(p, scal, w_tiles, color=color)
+                    xr = xp.reshape(nt // 2, 2, TILE, 3)
+                    new = newp.T.reshape(nt // 2, TILE, 3)
+                    parts = [new if c == color else xr[:, c]
+                             for c in (0, 1)]
+                    return jnp.stack(parts, axis=1).reshape(-1, 3)
+            else:
+                # substep-invariant friction anchor
+                x0w = _window(x0, _PAD_POS, w_tiles)
+
+                def half_sweep(xp, color):
+                    return solve_contacts_window(
+                        xp, x0, x0w, wi, st.active, st.group, cache,
+                        params, w_tiles, color=color)
 
             def round_(xp, quat, colors):
                 # red-black Gauss-Seidel: the second color projects against
                 # the freshly-updated first — half the pair work of a full
                 # Jacobi sweep at better per-round convergence
                 for color in colors:
-                    xp = solve_contacts_window(xp, x0, x0w, wi, st.active,
-                                               st.group, cache, params,
-                                               w_tiles, color=color)
+                    xp = half_sweep(xp, color)
                 xp = collide_static(xp, x0, colliders, params, sdt)
                 xp, quat = shape_match(xp, st, params, quat, onehot,
                                        inv_counts)
@@ -697,7 +736,7 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
 
 def step_frame(state: SimState, params: SimParams, colliders: Colliders,
                grid_lower=None, grid_dims=None, k: int = 24,
-               cache=None) -> SimState:
+               cache=None, use_pallas=None) -> SimState:
     """Advance one display frame (dt = 1/60): num_substeps x
     (integrate -> num_iterations projection sweeps -> velocities).
 
@@ -711,11 +750,15 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
     is returned sorted (the env's scan carries sorted state across frames
     and unsorts once per push).
     """
+    if use_pallas is None:
+        use_pallas = resolve_pallas(state)
     if cache is None:
         state, cache = build_cache(state, params)
-        state = _step_sorted(state, params, colliders, cache)
+        state = _step_sorted(state, params, colliders, cache,
+                             use_pallas=use_pallas)
         return unsort_state(state)
-    return _step_sorted(state, params, colliders, cache)
+    return _step_sorted(state, params, colliders, cache,
+                        use_pallas=use_pallas)
 
 
 def default_grid(global_scale: float = 24.0, cell_size: float = 0.075 * 1.25):
