@@ -163,12 +163,16 @@ class PlannerGD:
 
     # ------------------------------------------------- the jitted optimizer
     @functools.partial(jax.jit, static_argnames=("self", "model_dy",
-                                                 "n_iters", "n_batch"))
+                                                 "n_iters", "n_batch",
+                                                 "distractor_df_fn"))
     def _optimize(self, model_dy, params, s_cur, s_param, a_cur, acts0,
                   goal_field, goal_coor, lims_lo, lims_hi, lr,
-                  n_iters: int, n_batch: int):
+                  n_iters: int, n_batch: int, distractor_df_fn=None):
         """acts0: (S, n_act, 4). Returns final acts, per-iter stats, best
-        action tracking."""
+        action tracking. distractor_df_fn (jittable (px, py) -> intrusion
+        depth) folds the swept-segment distractor penalty into the reward,
+        differentiable through the actions (planners.py:700-712 +
+        flex_rewards.py:245-264)."""
         optimizer = optax.adam(lr, b1=0.9, b2=0.999)
         opt_state = optimizer.init(acts0)
         S, n_act, _ = acts0.shape
@@ -180,6 +184,11 @@ class PlannerGD:
                                            a_cur, acts)
             final = pred[:, -1]                              # (S, Np, 3)
             r = rew.config_reward_ptcl(final, goal_field, cam, goal_coor)
+            if distractor_df_fn is not None:
+                dr = rew.distractor_reward_diff(
+                    acts[:, :, None, :], distractor_df_fn, self.config,
+                    width=self.screenWidth)                  # (S*n_act,)
+                r = r + jnp.sum(dr.reshape(S, n_act), axis=1)
             return -jnp.sum(r), r
 
         def body(carry, _):
@@ -268,9 +277,11 @@ class PlannerGD:
             return self._optimize(model_dy, model_params, s_cur, s_param,
                                   a_cur, acts0, goal_field, goal_coor,
                                   lims_lo, lims_hi, jnp.float32(lr),
-                                  int(n_iters), int(n_batch))
+                                  int(n_iters), int(n_batch),
+                                  distractor_df_fn=distractor_df_fn)
 
-        key = (self.particle_num, n_batch, traj_num, n_act)
+        key = (self.particle_num, n_batch, traj_num, n_act,
+               distractor_df_fn is not None)
         ms_per_iter = self._calibrate(run, key)
         budget = (int(time_lim / ms_per_iter)
                   if np.isfinite(time_lim) else n_update_iter)
