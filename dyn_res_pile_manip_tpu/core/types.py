@@ -119,6 +119,24 @@ class Colliders(struct.PyTreeNode):
     cap_radius: jnp.ndarray    # (C,)
     cap_active: jnp.ndarray    # (C,) bool
     cap_vel: jnp.ndarray       # (C, 3)
+    # kinematic triangle meshes, baked to SDF grids at build time
+    # (AddTriangleMesh parity, helpers.h:713-760; see sim/sdf.py).
+    # All grids share resolution sim.sdf.SDF_RES; M grows host-side via
+    # with_mesh (one recompile per scene build, like FleX's BVH upload).
+    mesh_sdf: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 1, 1, 1), jnp.float32))
+    mesh_lower: jnp.ndarray = struct.field(      # (M, 3) grid lower, local
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    mesh_inv_spacing: jnp.ndarray = struct.field(  # (M,) 1/voxel edge
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    mesh_pos: jnp.ndarray = struct.field(        # (M, 3) world translation
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    mesh_quat: jnp.ndarray = struct.field(       # (M, 4) wxyz world<-local
+        default_factory=lambda: jnp.zeros((0, 4), jnp.float32))
+    mesh_active: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), bool))
+    mesh_vel: jnp.ndarray = struct.field(        # (M, 3) surface velocity
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
 
     @classmethod
     def ground_only(cls, num_boxes: int = 5,
@@ -145,6 +163,37 @@ class Colliders(struct.PyTreeNode):
             cap_radius=self.cap_radius.at[i].set(jnp.float32(radius)),
             cap_active=self.cap_active.at[i].set(active),
             cap_vel=self.cap_vel.at[i].set(jnp.asarray(vel, jnp.float32)),
+        )
+
+    def with_mesh(self, sdf, lower, spacing, pos=(0.0, 0.0, 0.0),
+                  quat=(1.0, 0.0, 0.0, 0.0), active=True,
+                  vel=(0.0, 0.0, 0.0)) -> "Colliders":
+        """Append a baked mesh SDF (host-side; grows M by one)."""
+        sdf = jnp.asarray(sdf, jnp.float32)
+        if self.mesh_sdf.shape[0] == 0:
+            grids = sdf[None]
+        else:
+            grids = jnp.concatenate([self.mesh_sdf, sdf[None]], axis=0)
+        cat = lambda a, b: jnp.concatenate(
+            [a, jnp.asarray(b, a.dtype)[None]], axis=0)
+        return self.replace(
+            mesh_sdf=grids,
+            mesh_lower=cat(self.mesh_lower, lower),
+            mesh_inv_spacing=cat(self.mesh_inv_spacing, 1.0 / float(spacing)),
+            mesh_pos=cat(self.mesh_pos, pos),
+            mesh_quat=cat(self.mesh_quat, quat),
+            mesh_active=cat(self.mesh_active, bool(active)),
+            mesh_vel=cat(self.mesh_vel, vel),
+        )
+
+    def set_mesh_state(self, i: int, pos, quat,
+                       vel=(0.0, 0.0, 0.0)) -> "Colliders":
+        """Kinematic pose update for mesh i (wxyz quat)."""
+        return self.replace(
+            mesh_pos=self.mesh_pos.at[i].set(jnp.asarray(pos, jnp.float32)),
+            mesh_quat=self.mesh_quat.at[i].set(
+                jnp.asarray(quat, jnp.float32)),
+            mesh_vel=self.mesh_vel.at[i].set(jnp.asarray(vel, jnp.float32)),
         )
 
     def with_box(self, i: int, center, half, yaw=0.0, active=True,

@@ -71,6 +71,8 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
                               global_scale)
 
         valid = True
+        t_epi = time.time()
+        n_tries = 0
         for t in range(n_timestep):
             color_diff = 0.0
             while color_diff < 0.001:
@@ -79,6 +81,7 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
                 else:
                     u, _ = env.sample_action(1)
                     u = u[0, 0]
+                n_tries += 1
                 img = env.step(u)
                 if img is None:
                     valid = False
@@ -95,6 +98,9 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
                                   global_scale)
             actions[t] = u
         if valid:
+            print("episode %d: %.1fs, %d pushes (%d no-op retries)"
+                  % (idx_episode, time.time() - t_epi, n_timestep,
+                     n_tries - n_timestep), flush=True)
             idx_episode += 1
         with open(os.path.join(epi_dir, "actions.p"), "wb") as fp:
             pickle.dump(actions, fp)

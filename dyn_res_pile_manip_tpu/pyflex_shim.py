@@ -35,6 +35,7 @@ class _Runtime:
         self.colliders = Colliders.ground_only(num_boxes=8)
         self.n_boxes = 1  # slot 0 reserved for a kinematic pusher
         self.n_capsules = 0
+        self.shapes = []  # user shape registry, in add order: (kind, idx)
         self.grid = pbd.default_grid(24.0)
         self.seed = 0
 
@@ -82,6 +83,7 @@ def set_scene(idx, scene_params, thread_idx=0):
     _rt.colliders = Colliders.ground_only(num_boxes=8)
     _rt.n_boxes = 1
     _rt.n_capsules = 0
+    _rt.shapes = []
 
 
 def get_n_particles():
@@ -122,7 +124,8 @@ def add_box(halfEdge, center, quat, hideShape=0, color=None):
         b, np.asarray(center), np.asarray(halfEdge),
         yaw=_yaw_from_quat(quat), active=True)
     _rt.n_boxes += 1
-    return b
+    _rt.shapes.append(("box", b))
+    return len(_rt.shapes) - 1
 
 
 def add_capsule(radius, half_length, center, quat, hideShape=0,
@@ -141,33 +144,67 @@ def add_capsule(radius, half_length, center, quat, hideShape=0,
         i, c - axis * half_length, c + axis * half_length, radius,
         active=True)
     _rt.n_capsules += 1
-    return i
+    _rt.shapes.append(("capsule", i))
+    return len(_rt.shapes) - 1
 
 
 def add_mesh(path, scaling, hideShape=0, color=None):
-    return -1  # robot visual meshes: kinematic no-op (see module docstring)
+    """Register a triangle mesh as a kinematic collider (AddTriangleMesh,
+    helpers.h:713-760). The mesh is baked to an SDF grid once (sim/sdf.py);
+    its pose is then driven through set_shape_states like any shape."""
+    from .sim.sdf import build_mesh_sdf
+    from .utils.mesh import import_mesh
+
+    verts, faces = import_mesh(path)
+    sdf, lower, spacing = build_mesh_sdf(verts, faces,
+                                         scale=float(scaling))
+    m = _rt.colliders.mesh_sdf.shape[0]
+    _rt.colliders = _rt.colliders.with_mesh(sdf, lower, spacing)
+    _rt.shapes.append(("mesh", m))
+    return len(_rt.shapes) - 1
+
+
+def _wxyz(q):
+    x, y, z, w = [float(v) for v in q]
+    return np.array([w, x, y, z])
 
 
 def set_shape_states(states):
-    """states: (S, 14) rows [pos(3), prev(3), quat(4), prev_quat(4)];
-    rows beyond the tracked boxes (robot links) are ignored."""
+    """states: (S, 14) rows [pos(3), prev(3), quat(4) xyzw, prev_quat(4)],
+    one row per user-added shape in add order (pyflex.cpp shape-state
+    layout); extra rows are ignored."""
     states = np.asarray(states).reshape(-1, 14)
     col = _rt.colliders
-    for i in range(min(states.shape[0], _rt.n_boxes - 1)):
-        col = col.with_box(1 + i, states[i, :3], np.asarray(
-            col.box_half[1 + i]), yaw=_yaw_from_quat(states[i, 6:10]),
-            active=True)
+    for i in range(min(states.shape[0], len(_rt.shapes))):
+        kind, idx = _rt.shapes[i]
+        if kind == "box":
+            col = col.with_box(idx, states[i, :3], np.asarray(
+                col.box_half[idx]), yaw=_yaw_from_quat(states[i, 6:10]),
+                active=True)
+        elif kind == "mesh":
+            col = col.set_mesh_state(idx, states[i, :3],
+                                     _wxyz(states[i, 6:10]))
+        # capsules: pose changes unused by current scenes (static tools)
     _rt.colliders = col
 
 
 def get_shape_states():
     col = _rt.colliders
-    out = np.zeros((_rt.n_boxes - 1, 14))
-    for i in range(1, _rt.n_boxes):
-        c = np.asarray(col.box_center[i])
-        yaw = float(col.box_yaw[i])
-        q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
-        out[i - 1] = np.concatenate([c, c, q, q])
+    out = np.zeros((len(_rt.shapes), 14))
+    for row, (kind, idx) in enumerate(_rt.shapes):
+        if kind == "box":
+            c = np.asarray(col.box_center[idx])
+            yaw = float(col.box_yaw[idx])
+            q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
+        elif kind == "mesh":
+            c = np.asarray(col.mesh_pos[idx])
+            w, x, y, z = np.asarray(col.mesh_quat[idx])
+            q = np.array([x, y, z, w])
+        else:  # capsule: report the segment midpoint, identity rotation
+            c = 0.5 * (np.asarray(col.cap_p0[idx])
+                       + np.asarray(col.cap_p1[idx]))
+            q = np.array([0.0, 0.0, 0.0, 1.0])
+        out[row] = np.concatenate([c, c, q, q])
     return out
 
 

@@ -306,7 +306,74 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
         xp = xp + pen[:, None] * nrm
         fr = friction(xp, nrm, pen, colliders.cap_vel[c])
         xp = xp + jnp.where((pen > 0)[:, None], fr, 0.0)
+
+    # triangle meshes, baked to SDF grids (sim/sdf.py; AddTriangleMesh
+    # parity, helpers.h:713-760). Static unroll: M is 0 in the granular
+    # scenes, so this contributes nothing to the hot path.
+    for m in range(colliders.mesh_sdf.shape[0]):
+        R = _quat_to_mat(colliders.mesh_quat[m][None])[0]      # (3,3)
+        p_local = (xp - colliders.mesh_pos[m]) @ R             # world->local
+        sdf, n_local = _sample_sdf_grad(
+            colliders.mesh_sdf[m], p_local, colliders.mesh_lower[m],
+            colliders.mesh_inv_spacing[m])
+        pen = jnp.maximum(cd - sdf, 0.0)
+        pen = jnp.where(colliders.mesh_active[m], pen, 0.0)
+        n_world = n_local @ R.T
+        xp = xp + pen[:, None] * n_world
+        fr = friction(xp, n_world, pen, colliders.mesh_vel[m])
+        xp = xp + jnp.where((pen > 0)[:, None], fr, 0.0)
     return xp
+
+
+def _sample_sdf_grad(grid: jnp.ndarray, p: jnp.ndarray, lower: jnp.ndarray,
+                     inv_sp: jnp.ndarray):
+    """Trilinear SDF sample + unit normal for local-frame points p (N, 3).
+
+    The normal is the analytic gradient of the trilinear interpolant —
+    computed from the SAME 8 corner values as the sample, so a mesh costs
+    exactly 8 gathered rows per particle. Points outside the grid get the
+    clamped border value plus the L2 distance to the grid (far-field
+    conservative bound), with the normal pointing back toward the grid.
+    """
+    R = grid.shape[0]
+    g_raw = (p - lower) * inv_sp - 0.5        # voxel-center coordinates
+    g = jnp.clip(g_raw, 0.0, R - 1.001)
+    i0 = jnp.floor(g).astype(jnp.int32)
+    f = g - i0
+    flat = grid.reshape(-1)
+
+    def corner(dx, dy, dz):
+        idx = ((i0[:, 0] + dx) * R + (i0[:, 1] + dy)) * R + (i0[:, 2] + dz)
+        return jnp.take(flat, idx)
+
+    c000, c001 = corner(0, 0, 0), corner(0, 0, 1)
+    c010, c011 = corner(0, 1, 0), corner(0, 1, 1)
+    c100, c101 = corner(1, 0, 0), corner(1, 0, 1)
+    c110, c111 = corner(1, 1, 0), corner(1, 1, 1)
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    # interpolate z, then y, then x; keep intermediates for the gradient
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    val = c0 * (1 - fx) + c1 * fx
+    dx = c1 - c0
+    dy = (c01 - c00) * (1 - fx) + (c11 - c10) * fx
+    dz = ((c001 - c000) * (1 - fy) + (c011 - c010) * fy) * (1 - fx) + \
+         ((c101 - c100) * (1 - fy) + (c111 - c110) * fy) * fx
+    grad = jnp.stack([dx, dy, dz], axis=-1) * inv_sp
+
+    # out-of-grid far field
+    out_vec = (g_raw - g) / inv_sp
+    out_dist = jnp.linalg.norm(out_vec, axis=-1)
+    val = val + out_dist
+    grad = jnp.where((out_dist > 0)[:, None],
+                     out_vec / jnp.maximum(out_dist, 1e-9)[:, None], grad)
+    n = grad / jnp.maximum(
+        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    return val, n
 
 
 # ---------------------------------------------------------------------------
