@@ -87,6 +87,12 @@ class SimState(struct.PyTreeNode):
     # original particle ids when the state is in solver (x-sorted) order;
     # None = external order. sim.pbd.sort_state / unsort_state maintain it.
     order: jnp.ndarray | None = None
+    # (N,) bool: particle was put to rest by the sleep clamp while being
+    # solved — i.e. it is at a supported equilibrium, so the active-set
+    # solver may freeze it (NvFlexParams::sleepThreshold semantics plus
+    # FleX's per-particle sleep bookkeeping). None = never slept (fresh
+    # scenes must fall). Materialized by sim.pbd.build_cache.
+    slept: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:

@@ -26,6 +26,31 @@ from ..utils.imageio import write_color, write_depth
 FG_THRESHOLD = 0.599 / 0.8
 
 
+def push_hits_pile(u: np.ndarray, positions: np.ndarray,
+                   margin: float = 0.95) -> bool:
+    """Geometric pre-filter for the no-op rejection loop: a push whose swept
+    pusher segment stays > margin away from every particle footprint cannot
+    change the image (the reference discovers this only after simulating,
+    gnn_dyn_data.py:83-95 — rejected pushes are resampled BEFORE paying a
+    simulated push; the color-diff test stays as the final arbiter, so the
+    accepted-action distribution is unchanged).
+
+    u: [xs, ys, xe, ye] in workspace coords (y maps to -z).
+    positions: flat (n*4,) pyflex positions.
+    """
+    p = positions.reshape(-1, 4)
+    pts = np.stack([p[:, 0], -p[:, 2]], axis=1)      # (n, 2) in action coords
+    s, e = u[:2], u[2:4]
+    d = e - s
+    len2 = float(d @ d)
+    if len2 < 1e-12:
+        dist2 = ((pts - s) ** 2).sum(axis=1)
+    else:
+        t = np.clip((pts - s) @ d / len2, 0.0, 1.0)
+        dist2 = ((pts - (s + t[:, None] * d)) ** 2).sum(axis=1)
+    return bool((dist2 < margin * margin).any())
+
+
 def save_frame(epi_dir: str, t: int, img: np.ndarray, positions: np.ndarray,
                global_scale: float) -> np.ndarray:
     """White out background, write color/depth/particles; returns the
@@ -64,7 +89,7 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
                 -env.init_z - 1.2 * (np.random.randint(0, 2) - 0.6),
                 env.init_x, -env.init_z])
             if env.step(init_u) is None:
-                print("rerun episode %d" % idx_episode)
+                print("rerun episode %d" % idx_episode, flush=True)
                 continue
         img = env.render()
         last_img = save_frame(epi_dir, 0, img, env.get_positions(),
@@ -73,19 +98,25 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
         valid = True
         t_epi = time.time()
         n_tries = 0
+        n_prefiltered = 0
         for t in range(n_timestep):
             color_diff = 0.0
             while color_diff < 0.001:
-                if config["dataset"].get("action_bias", False):
-                    u = env.sample_action_obj_biased(1)[0]
-                else:
-                    u, _ = env.sample_action(1)
-                    u = u[0, 0]
+                positions = env.get_positions()
+                while True:
+                    if config["dataset"].get("action_bias", False):
+                        u = env.sample_action_obj_biased(1)[0]
+                    else:
+                        u, _ = env.sample_action(1)
+                        u = u[0, 0]
+                    if push_hits_pile(u, positions):
+                        break
+                    n_prefiltered += 1
                 n_tries += 1
                 img = env.step(u)
                 if img is None:
                     valid = False
-                    print("rerun episode %d" % idx_episode)
+                    print("rerun episode %d" % idx_episode, flush=True)
                     break
                 img = img.copy()
                 img[:, :, :3][img[:, :, -1]
@@ -98,9 +129,10 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
                                   global_scale)
             actions[t] = u
         if valid:
-            print("episode %d: %.1fs, %d pushes (%d no-op retries)"
+            print("episode %d: %.1fs, %d pushes (%d no-op retries, "
+                  "%d prefiltered)"
                   % (idx_episode, time.time() - t_epi, n_timestep,
-                     n_tries - n_timestep), flush=True)
+                     n_tries - n_timestep, n_prefiltered), flush=True)
             idx_episode += 1
         with open(os.path.join(epi_dir, "actions.p"), "wb") as fp:
             pickle.dump(actions, fp)

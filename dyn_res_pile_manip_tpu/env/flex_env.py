@@ -38,7 +38,12 @@ def intersect(a, b, c, d):
     return _ccw(a, c, d) != _ccw(b, c, d) and _ccw(a, b, c) != _ccw(a, b, d)
 
 
-REBUILD_EVERY = 2  # max frames per neighbor-cache build (margin-covered)
+# Max frames per neighbor-cache build. Contact correctness is enforced by
+# the displacement trigger (pbd.cache_stale: any particle moving more than
+# half the collision margin forces a rebuild — CLAUDE.md physics lesson);
+# this is only a safety heartbeat. It also bounds kinematic-wake staleness:
+# 16 frames x pusher speed 0.02/frame = 0.32 << the 8-radius wake distance.
+REBUILD_EVERY = 16
 
 
 @functools.partial(jax.jit,
@@ -64,18 +69,24 @@ def _run_frames(state: SimState, params, colliders: Colliders,
         asleep = (jnp.max(jnp.abs(st.v)) == 0.0) & ~act & ((i % 8) != 0)
 
         def run(st, cache):
-            st, cache = jax.lax.cond(
-                ((i % REBUILD_EVERY) == 0) | pbd.cache_stale(st, params,
-                                                             cache),
-                lambda: pbd.build_cache(st, params,
-                                        with_pair_mask=not use_pallas),
-                lambda: (st, cache))
             col = colliders.replace(
                 box_center=colliders.box_center.at[0].set(c),
                 box_half=colliders.box_half.at[0].set(half),
                 box_yaw=colliders.box_yaw.at[0].set(yw),
                 box_active=colliders.box_active.at[0].set(act),
                 box_vel=colliders.box_vel.at[0].set(vl))
+            # rebuild on displacement staleness, on the slow heartbeat, or
+            # every other frame while the kinematic pusher is active (a
+            # moving collider must keep waking particles ahead of contact
+            # even when no particle has moved yet)
+            st, cache = jax.lax.cond(
+                ((i % REBUILD_EVERY) == 0)
+                | (act & ((i % 2) == 0))
+                | pbd.cache_stale(st, params, cache),
+                lambda: pbd.build_cache(st, params,
+                                        with_pair_mask=not use_pallas,
+                                        colliders=col),
+                lambda: (st, cache))
             st = pbd.step_frame(st, params, col, cache=cache,
                                 use_pallas=use_pallas)
             return st, cache
@@ -263,18 +274,24 @@ class FlexEnv:
         return imgs
 
     def _raster_with_pusher(self, plan, i: int) -> np.ndarray:
-        """Render with the pusher board posed at frame ``i`` of a plan."""
+        """Render with the pusher board posed at frame ``i`` of a plan.
+        Video/demo path: skinned rigid hulls + shadow pass (the reference
+        draws skinned meshes and a shadow map here, pyflex.cpp:1183-1400;
+        the perception render() keeps exact splats + no shadows)."""
         col = self.colliders.with_box(
             0, plan.center[i], pusher.pusher_half_extents(),
             yaw=float(plan.yaw[i]), active=bool(plan.active[i]))
         saved = self.colliders
         self.colliders = col
         try:
-            return self._raster(self.camera)
+            return self._raster(self.camera,
+                                skin=self.scene_build.draw_skin,
+                                shadows=True)
         finally:
             self.colliders = saved
 
-    def _raster(self, camera: Camera) -> np.ndarray:
+    def _raster(self, camera: Camera, skin: bool = False,
+                shadows: bool = False) -> np.ndarray:
         fx, fy, cx, cy = camera.cam_params()
         obs = raster.render_rgbd(
             self.state.x, self.state.active, self.colliders,
@@ -282,7 +299,8 @@ class FlexEnv:
             fx, fy, cx, cy,
             jnp.asarray(self.scene_build.color, jnp.float32),
             jnp.float32(float(self.sim_params.radius) * 0.5),
-            width=camera.width, height=camera.height)
+            width=camera.width, height=camera.height,
+            skin=skin, shadows=shadows)
         return np.asarray(obs)
 
     # ------------------------------------------------------------ perception

@@ -36,7 +36,10 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
                       action_label_seq_mpc_init=None, time_lim=float("inf"),
                       auto_particle_r=False, res_rgr=None):
     assert subgoal.shape == (env.screenHeight, env.screenWidth)
-    if mpc_type != "GD":
+    # The reference driver raises for anything but GD
+    # (env/flex_env.py:973-976); we additionally support the MPPI loop its
+    # planner ships (see PlannerGD.trajectory_optimization_mppi).
+    if mpc_type not in ("GD", "MPPI"):
         raise NotImplementedError(mpc_type)
     if getattr(env, "planner", None) is None:
         env.planner = PlannerGD(env.config, env)
@@ -104,7 +107,10 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
     for i in range(n_mpc):
         attr_cur = np.zeros((obs_cur.shape[0], particle_num))
         state_param = np.full((obs_cur.shape[0],), particle_den)
-        out = planner.trajectory_optimization_ptcl_multi_traj(
+        optimize = (planner.trajectory_optimization_ptcl_multi_traj
+                    if mpc_type == "GD"
+                    else planner.trajectory_optimization_mppi)
+        out = optimize(
             obs_cur, state_param, attr_cur, obs_goal=subgoal,
             model_dy=model_dy,
             act_seq=action_seq_mpc_init[:n_look_ahead],

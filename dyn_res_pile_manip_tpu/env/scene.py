@@ -32,6 +32,9 @@ class SceneBuild:
     num_groups: int
     params: SimParams
     color: np.ndarray       # (3,) base RGB of the material
+    # draw rigid groups as skinned hulls (scene param draw_skin,
+    # yx_carrots.h:69-81); consumed by the video/demo render path
+    draw_skin: bool = False
 
 
 def _fill_shape(inside_fn, orig_lower, orig_upper, lower, scale, spacing,
@@ -146,7 +149,8 @@ def build_carrots(scene_params: np.ndarray, seed: int) -> SceneBuild:
         positions=pos, invm=np.full(pos.shape[0], 0.2, dtype=np.float32),
         group=grp, num_groups=group,
         params=SimParams.granular(RADIUS, s_frict, d_frict),
-        color=np.array([237.0, 145.0, 33.0]) / 255.0)
+        color=np.array([237.0, 145.0, 33.0]) / 255.0,
+        draw_skin=bool(_draw_skin))
 
 
 def build_grid_rigid_scene(kind: str, scale: float, origin: np.ndarray,

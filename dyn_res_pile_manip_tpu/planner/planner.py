@@ -161,6 +161,164 @@ class PlannerGD:
             preds.append(s)
         return jnp.stack(preds, axis=1)       # (S, n_act, Np, 3)
 
+    def model_rollout(self, state_cur, model_dy, act_seqs, state_param,
+                      attr_cur):
+        """Reference model_rollout surface (planners.py:300-371): roll
+        act_seqs (n_sample * n_batch, N_act, 4) through the GNN from
+        state_cur (n_batch, Np, 3). Returns the reference's nested dict."""
+        t0 = time.perf_counter()
+        pred = self.ptcl_model_rollout(
+            model_dy, model_dy.params,
+            jnp.asarray(state_cur, jnp.float32),
+            jnp.asarray(state_param, jnp.float32).reshape(-1),
+            jnp.asarray(attr_cur, jnp.float32),
+            jnp.asarray(act_seqs, jnp.float32))
+        jax.block_until_ready(pred)
+        return {"model_rollout": {"state_pred": pred},
+                "rollout_time": (time.perf_counter() - t0) * 1e3}
+
+    def ptcl_evaluate_traj(self, obs_seqs, obs_goal, obs_goal_coor=None,
+                           funnel_dist=None, distractor_df_fn=None,
+                           act_seqs_tensor=None, normalize_rew=True):
+        """Reference ptcl_evaluate_traj (planners.py:373-457): obs_seqs
+        (n_sample, n_look_ahead, cvx_num, Np, 3) -> (reward_seqs, next_r)."""
+        obs = jnp.asarray(obs_seqs, jnp.float32)
+        n_sample, n_look, cvx, n_ptcl, _ = obs.shape
+        goal_np = np.asarray(obs_goal)
+        goal_field = rew.prepare_goal(goal_np)
+        if obs_goal_coor is None:
+            obs_goal_coor = rew.goal_coords(
+                goal_np, min(n_ptcl * 5, int((goal_np < 0.5).sum())))
+        cam = tuple(jnp.float32(c) for c in self.cam_params)
+        next_r = rew.config_reward_ptcl(
+            obs.reshape(-1, n_ptcl, 3), goal_field, cam,
+            jnp.asarray(obs_goal_coor), normalize=normalize_rew)
+        distractor = jnp.zeros_like(next_r)
+        if distractor_df_fn is not None:
+            distractor = rew.distractor_reward_diff(
+                jnp.asarray(act_seqs_tensor, jnp.float32),
+                distractor_df_fn, self.config, width=self.screenWidth)
+        next_r = next_r.reshape(n_sample, n_look, cvx)
+        distractor = distractor.reshape(n_sample, n_look, cvx)
+        reward_seqs = next_r[:, -1] + distractor.sum(axis=1)
+        return np.asarray(reward_seqs), np.asarray(next_r)
+
+    def evaluate_traj(self, obs_seqs, obs_goal, obs_goal_mask_tensor,
+                      distractor_df_fn=None, act_seqs_tensor=None):
+        """Image-space reward path (planners.py:459-530): obs_seqs
+        (n_sample, n_look_ahead, cvx_num, res*res) binary occupancy images
+        -> (reward_seqs, next_r) via the image config_reward."""
+        obs = jnp.asarray(obs_seqs, jnp.float32)
+        n_sample, n_look, cvx, flat_dim = obs.shape
+        res = int(np.sqrt(flat_dim))
+        imgs = obs.reshape(-1, 1, res, res)
+        next_r = rew.config_reward(
+            imgs, jnp.asarray(obs_goal, jnp.float32),
+            jnp.asarray(obs_goal_mask_tensor, jnp.float32))
+        distractor = jnp.zeros_like(next_r)
+        if distractor_df_fn is not None:
+            distractor = rew.distractor_reward_diff(
+                jnp.asarray(act_seqs_tensor, jnp.float32),
+                distractor_df_fn, self.config, width=self.screenWidth)
+        next_r = next_r.reshape(n_sample, n_look, cvx)
+        distractor = distractor.reshape(n_sample, n_look, cvx)
+        reward_seqs = next_r[:, -1] + distractor.sum(axis=1)
+        return np.asarray(reward_seqs), np.asarray(next_r)
+
+    # --------------------------------------------------------- MPPI driver
+    @functools.partial(jax.jit, static_argnames=("self", "model_dy",
+                                                 "n_batch"))
+    def _mppi_eval(self, model_dy, params, s_cur, s_param, a_cur, acts,
+                   goal_field, goal_coor, n_batch: int):
+        """Rollout + terminal reward for one MPPI iteration; rewards are
+        averaged across state hypotheses: (n_sample,)."""
+        pred = self.ptcl_model_rollout(model_dy, params, s_cur, s_param,
+                                       a_cur, acts)
+        cam = tuple(jnp.float32(c) for c in self.cam_params)
+        r = rew.config_reward_ptcl(pred[:, -1], goal_field, cam, goal_coor)
+        return jnp.mean(r.reshape(-1, n_batch), axis=1), pred
+
+    def trajectory_optimization_mppi(
+            self, state_cur_np, state_param, attr_cur_np, obs_goal, model_dy,
+            act_seq, act_label_seq, n_sample, n_look_ahead, n_update_iter,
+            action_lower_lim, action_upper_lim,
+            rollout_best_action_sequence=True, time_lim=float("inf"),
+            **_kw):
+        """End-to-end MPPI: beta-filtered sampling (planners.py:69-190) ->
+        GNN rollout -> terminal reward -> softmax aggregation
+        (planners.py:549-561), iterated. The reference ships this
+        machinery but its driver raises for mpc_type != 'GD'
+        (env/flex_env.py:973-976); here it is a working alternative."""
+        t_start = time.time()
+        self.particle_num = state_cur_np.shape[1]
+        n_batch = state_cur_np.shape[0]
+        act_seq2 = np.asarray(act_seq, np.float64)
+        if act_seq2.ndim == 3:          # (n_act, traj, 4) -> first traj
+            act_seq2 = act_seq2[:, 0, :]
+        n_act = act_seq2.shape[0]
+
+        model_params = model_dy.params
+        s_cur = jnp.asarray(state_cur_np, jnp.float32)
+        s_param = jnp.asarray(state_param, jnp.float32).reshape(-1)
+        if s_param.shape[0] == 1:
+            s_param = jnp.tile(s_param, (n_batch,))
+        a_cur = jnp.asarray(attr_cur_np, jnp.float32)
+        goal_np = np.asarray(obs_goal)
+        goal_field = rew.prepare_goal(goal_np)
+        goal_coor = jnp.asarray(rew.goal_coords(
+            goal_np, min(self.particle_num * 5,
+                         int((goal_np < 0.5).sum()))))
+
+        labels = (act_label_seq if act_label_seq is not None
+                  else np.zeros(n_act, np.int32))
+        best_r, best_seq = -np.inf, act_seq2.copy()
+        rew_mean = np.zeros((1, n_update_iter), np.float32)
+        rew_std = np.zeros_like(rew_mean)
+        n_iters = 0
+        for it in range(n_update_iter):
+            if (time.time() - t_start) * 1000.0 > time_lim:
+                break
+            samples = self.sample_action_sequences(
+                act_seq2, labels, n_sample, action_lower_lim,
+                action_upper_lim)                     # (n_sample, n_act, 4)
+            acts = jnp.asarray(np.repeat(samples, n_batch, axis=0),
+                               jnp.float32)
+            r, _ = self._mppi_eval(model_dy, model_params, s_cur, s_param,
+                                   a_cur, acts, goal_field, goal_coor,
+                                   int(n_batch))
+            r = np.asarray(r)                         # (n_sample,)
+            act_seq2 = self.optimize_action(
+                samples[:, :, None, :], r[:, None])[:, 0, :]
+            i_best = int(np.argmax(r))
+            if r[i_best] > best_r:
+                best_r, best_seq = float(r[i_best]), samples[i_best]
+            rew_mean[0, it], rew_std[0, it] = r.mean(), r.std()
+            n_iters += 1
+
+        obs_seq_best, next_r = None, np.zeros((1,))
+        if rollout_best_action_sequence:
+            _, pred = self._mppi_eval(
+                model_dy, model_params, s_cur[:1], s_param[:1], a_cur[:1],
+                jnp.asarray(best_seq[None], jnp.float32), goal_field,
+                goal_coor, 1)
+            obs_seq_best = np.asarray(pred[0])
+            next_r = np.array([best_r])
+
+        return {
+            "action_sequence": best_seq,
+            "action_full": best_seq[None],
+            "reward_full": np.array([best_r]),
+            "observation_sequence": obs_seq_best,
+            "observation_distractor_sequence": None,
+            "reward": np.asarray(best_r),
+            "next_r": next_r,
+            "rew_mean": rew_mean,
+            "rew_std": rew_std,
+            "times": {"total_time": time.time() - t_start,
+                      "rollout_time": 0.0, "optim_time": 0.0},
+            "iter_num": n_iters,
+        }
+
     # ------------------------------------------------- the jitted optimizer
     @functools.partial(jax.jit, static_argnames=("self", "model_dy",
                                                  "n_iters", "n_batch",

@@ -40,15 +40,27 @@ def _yaw_rot(yaw):
                       jnp.stack([-s, z, c], -1)], -2)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "skin", "shadows"))
 def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
                 cv_from_world: jnp.ndarray, fx, fy, cx, cy,
                 particle_color: jnp.ndarray, draw_radius,
-                width: int = 720, height: int = 720) -> jnp.ndarray:
+                width: int = 720, height: int = 720,
+                skin: bool = False, shadows: bool = False) -> jnp.ndarray:
     """Rasterize particles + analytic colliders to an RGBD observation.
 
     cv_from_world: 4x4 matrix to OpenCV camera coords (x right, y down,
     z forward = depth); see core.camera.Camera.opencv_from_world.
+
+    skin: approximate the reference's skinned rigid-body hulls
+        (CreateParticleShape skin=true + draw_skin, yx_carrots.h:69-81,
+        pyflex.cpp DrawShapes:1525-1620) by expanding splats ~the skin
+        offset so rigid groups merge into smooth blobs. Video/demo path
+        only — the perception contract keeps the exact particle radius.
+    shadows: one-bounce directional shadow map (opengl/shadersGL.cpp:984
+        shadow pass): particle centers are scattered into a light-space
+        ortho depth buffer; floor/box/particle pixels darken when occluded
+        toward the light. Off in the fused hot path (costs one H*W gather).
     """
     H, W = height, width
     far = jnp.float32(1e4)
@@ -173,11 +185,16 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     win = pbuf[:H * W].reshape(H, W)
 
     # dense expansion: each output pixel takes the nearest sphere surface
-    # among the 25 neighboring particle centers
-    r2 = draw_radius * draw_radius
+    # among the neighboring particle centers. ``skin`` expands the visual
+    # radius (~the reference's skin offset/expand) so rigid groups read as
+    # merged smooth hulls rather than individual grains.
+    vis_radius = draw_radius * (1.7 if skin else 1.0)
+    r2 = vis_radius * vis_radius
     pdepth = jnp.full((H, W), far)
     pbulge = jnp.zeros((H, W))
-    half = SPLAT // 2
+    pnx = jnp.zeros((H, W))
+    pny = jnp.zeros((H, W))
+    half = SPLAT // 2 + (1 if skin else 0)
     for di in range(-half, half + 1):
         for dj in range(-half, half + 1):
             # candidate centers at pixel (i-di, j-dj) contribute to (i, j)
@@ -200,14 +217,53 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
             closer = zpix < pdepth
             pdepth = jnp.where(closer, zpix, pdepth)
             pbulge = jnp.where(closer, bulge, pbulge)
+            pnx = jnp.where(closer, oy, pnx)   # cam x offset (u direction)
+            pny = jnp.where(closer, ox, pny)   # cam y offset (v direction)
+
+    # diffuse shading from the sphere-surface normal (camera space), the
+    # role of the reference's per-fragment lighting (shadersGL.cpp)
+    light_cam = cv_from_world[:3, :3] @ LIGHT_DIR
+    inv_r = 1.0 / vis_radius
+    # surface normal in cam coords = (pnx, pny, -pbulge)/r; diffuse = n.l
+    ndotl = (pnx * light_cam[0] + pny * light_cam[1]
+             - pbulge * light_cam[2]) * inv_r
     pshade = jnp.where(pdepth < far,
-                       0.45 + 0.55 * (pbulge / draw_radius), 0.0)
+                       0.40 + 0.25 * (pbulge * inv_r)
+                       + 0.35 * jnp.clip(ndotl, 0.0, 1.0), 0.0)
 
     particle_won = pdepth < bg_depth
     depth = jnp.where(particle_won, pdepth, bg_depth)
     rgb = jnp.where(particle_won[..., None],
                     particle_color[None, None, :] * pshade[..., None],
                     bg_rgb)
+
+    if shadows:
+        # light-space ortho shadow map: scatter particle centers, then one
+        # gather per image pixel (video/demo path; see docstring)
+        ldir = LIGHT_DIR
+        e1 = jnp.array([ldir[1], -ldir[0], 0.0])
+        e1 = e1 / jnp.linalg.norm(e1)
+        e2 = jnp.cross(ldir, e1)
+        SM, ext = 512, 8.0   # 3 cm texels over the pile workspace
+        pa = (x @ e1 / (2 * ext) + 0.5) * SM
+        pb = (x @ e2 / (2 * ext) + 0.5) * SM
+        pd = -(x @ ldir)
+        ia = jnp.clip(pa.astype(jnp.int32), 0, SM - 1)
+        ib = jnp.clip(pb.astype(jnp.int32), 0, SM - 1)
+        ok = active
+        sflat = jnp.where(ok, ia * SM + ib, SM * SM)
+        smap = jnp.full((SM * SM + 1,), 1e9, jnp.float32)
+        smap = smap.at[sflat].min(jnp.where(ok, pd, 1e9))
+        # image pixels -> world -> light space
+        pw = origin[None, None, :] + depth[..., None] * dir_world
+        qa = jnp.clip(((pw @ e1 / (2 * ext) + 0.5) * SM).astype(jnp.int32),
+                      0, SM - 1)
+        qb = jnp.clip(((pw @ e2 / (2 * ext) + 0.5) * SM).astype(jnp.int32),
+                      0, SM - 1)
+        qd = -(pw @ ldir)
+        occ_d = jnp.take(smap[:SM * SM], qa * SM + qb)
+        lit = qd <= occ_d + 1.5 * draw_radius
+        rgb = rgb * jnp.where(lit[..., None], 1.0, 0.62)
 
     out = jnp.concatenate([
         jnp.clip(rgb * 255.0, 1.0, 255.0),

@@ -193,9 +193,15 @@ def group_onehot(state: SimState) -> jnp.ndarray:
 
 def shape_match(xp: jnp.ndarray, state: SimState, params: SimParams,
                 group_quat: jnp.ndarray, onehot: jnp.ndarray,
-                inv_counts: jnp.ndarray):
+                inv_counts: jnp.ndarray, solve_mask: jnp.ndarray = None,
+                group_keep: jnp.ndarray = None):
     """One rigid shape-matching projection for all groups at once, all in
-    matmuls: onehot (G, N), inv_counts (G,) = 1/max(count,1)."""
+    matmuls: onehot (G, N), inv_counts (G,) = 1/max(count,1).
+
+    solve_mask (N,) restricts position updates to awake particles and
+    group_keep (G,) preserves the stored quaternion of groups outside the
+    active set (their covariances are garbage when members are absent from
+    a prefix slice; see build_cache's active-set docs)."""
     # per-group COM and its per-particle broadcast. These matmuls carry
     # raw positions, so force full precision: backends may default f32
     # matmuls to bf16-class accuracy, which would corrupt COMs by ~radius.
@@ -209,9 +215,13 @@ def shape_match(xp: jnp.ndarray, state: SimState, params: SimParams,
     outer = (rel[:, :, None] * state.rest[:, None, :]).reshape(-1, 9)
     A = mm(onehot, outer).reshape(-1, 3, 3)                    # (G, 3, 3)
     q = extract_rotation(A, group_quat)
+    if group_keep is not None:
+        q = jnp.where(group_keep[:, None], q, group_quat)
     R_pp = mm(onehot.T, _quat_to_mat(q).reshape(-1, 9)).reshape(-1, 3, 3)
     goal = com_pp + jnp.einsum("nij,nj->ni", R_pp, state.rest)
     delta = (goal - xp) * (params.rigid_stiffness * w)[:, None]
+    if solve_mask is not None:
+        delta = jnp.where(solve_mask[:, None], delta, 0.0)
     return xp + delta, q
 
 
@@ -453,21 +463,27 @@ def principal_axis(x: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def sort_state(state: SimState, axis: jnp.ndarray | None = None) -> SimState:
-    """Sort per-particle arrays along ``axis`` (default: principal axis;
-    inactive parked past the end), tracking original ids in
-    ``state.order``."""
+def _permute_state(state: SimState, perm: jnp.ndarray) -> SimState:
     n = state.x.shape[0]
-    if axis is None:
-        axis = principal_axis(state.x, state.active)
-    key = jnp.where(state.active, state.x @ axis, jnp.float32(3e38))
-    perm = jnp.argsort(key)
     order = (state.order if state.order is not None
              else jnp.arange(n, dtype=jnp.int32))
     return state.replace(
         x=state.x[perm], v=state.v[perm], invm=state.invm[perm],
         group=state.group[perm], active=state.active[perm],
-        rest=state.rest[perm], order=order[perm])
+        rest=state.rest[perm], order=order[perm],
+        slept=None if state.slept is None else state.slept[perm])
+
+
+def sort_state(state: SimState, axis: jnp.ndarray | None = None,
+               key: jnp.ndarray | None = None) -> SimState:
+    """Sort per-particle arrays along ``axis`` (default: principal axis;
+    inactive parked past the end) or by an explicit ``key``, tracking
+    original ids in ``state.order``."""
+    if key is None:
+        if axis is None:
+            axis = principal_axis(state.x, state.active)
+        key = jnp.where(state.active, state.x @ axis, jnp.float32(3e38))
+    return _permute_state(state, jnp.argsort(key))
 
 
 def unsort_state(state: SimState) -> SimState:
@@ -483,7 +499,8 @@ def unsort_state(state: SimState) -> SimState:
     return state.replace(
         x=unperm(state.x), v=unperm(state.v), invm=unperm(state.invm),
         group=unperm(state.group), active=unperm(state.active),
-        rest=unperm(state.rest), order=jnp.arange(n, dtype=jnp.int32))
+        rest=unperm(state.rest), order=jnp.arange(n, dtype=jnp.int32),
+        slept=None if state.slept is None else unperm(state.slept))
 
 
 def _rows(arr: jnp.ndarray, color) -> jnp.ndarray:
@@ -622,38 +639,192 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # the step
 # ---------------------------------------------------------------------------
 
+# active-set prefix sizes (sorted-slot rows); tiers smaller than the state
+# capacity are compiled as extra switch branches (see _branch_plan)
+A_TIERS = (2048, 4096, 8192)
+
+
+def _branch_plan(n_capacity: int):
+    """Prefix tiers applicable to a given padded capacity. The full-width
+    W_TIERS branches always follow these in the switch list."""
+    return [a for a in A_TIERS if a < n_capacity]
+
+
+# wake grid: static 2D (x, z) occupancy over the workspace. Piles are
+# shallow, so ignoring y only ever over-wakes a vertical column. Cells of
+# 0.25 with box dilation radii below cover search radii up to ~0.25-radius
+# scenes with margin.
+WAKE_GRID = 128
+WAKE_EXT = 16.0
+WAKE_CELLS_SOLVE = 3     # dilation (cells) around movers -> solve set
+WAKE_CELLS_RING = 2      # extra ring -> frozen support candidates
+
+
+def _wake_cells(x: jnp.ndarray) -> jnp.ndarray:
+    scale = WAKE_GRID / (2.0 * WAKE_EXT)
+    ix = jnp.clip(((x[:, 0] + WAKE_EXT) * scale).astype(jnp.int32),
+                  0, WAKE_GRID - 1)
+    iz = jnp.clip(((x[:, 2] + WAKE_EXT) * scale).astype(jnp.int32),
+                  0, WAKE_GRID - 1)
+    return ix * WAKE_GRID + iz
+
+
+def _grid_wake(m: jnp.ndarray, cells: jnp.ndarray,
+               r_cells: int) -> jnp.ndarray:
+    """(N,) bool -> (N,) bool: particles within ``r_cells`` wake-grid cells
+    (box metric, >= euclidean) of any source particle in the (x, z) plane.
+    One N-row scatter-max + shifted-OR dilation + one N-row gather; out-of
+    -extent positions clip to border cells (conflation only over-wakes)."""
+    G = WAKE_GRID
+    occ = jnp.zeros((G * G + 1,), jnp.int32)
+    occ = occ.at[jnp.where(m, cells, G * G)].max(1)
+    grid = occ[:G * G].reshape(G, G) > 0
+    for axis in (0, 1):
+        acc = grid
+        for s in range(1, r_cells + 1):
+            z = jnp.zeros_like(jnp.take(grid, jnp.arange(s), axis=axis))
+            lo = jnp.concatenate(
+                [jax.lax.slice_in_dim(grid, s, G, axis=axis), z], axis=axis)
+            hi = jnp.concatenate(
+                [z, jax.lax.slice_in_dim(grid, 0, G - s, axis=axis)],
+                axis=axis)
+            acc = acc | lo | hi
+        grid = acc
+    return jnp.take(grid.reshape(-1), cells)
+
+
+def _group_close(m: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Close a particle mask under rigid-group membership (a group wakes
+    as a whole — it moves rigidly)."""
+    gm = (onehot @ m.astype(jnp.float32)) > 0.5               # (G,)
+    return m | ((gm.astype(jnp.float32) @ onehot) > 0.5)
+
+
+def _kinematic_wake(state: SimState, params: SimParams,
+                    colliders: Colliders) -> jnp.ndarray:
+    """Particles near a MOVING kinematic collider (the pusher board,
+    driven capsules) must wake before contact: FleX's solver likewise
+    re-activates sleeping particles on shape contact."""
+    wake_d = 8.0 * params.radius
+    mov = jnp.zeros(state.x.shape[0], bool)
+    for b in range(colliders.box_center.shape[0]):
+        moving = colliders.box_active[b] & (
+            jnp.sum(colliders.box_vel[b] ** 2) > 0)
+        R = _yaw_rot(colliders.box_yaw[b])
+        p_local = (state.x - colliders.box_center[b]) @ R
+        sdf, _ = _box_sdf_normal(p_local, colliders.box_half[b])
+        mov = mov | (moving & (sdf < wake_d))
+    for c in range(colliders.cap_p0.shape[0]):
+        moving = colliders.cap_active[c] & (
+            jnp.sum(colliders.cap_vel[c] ** 2) > 0)
+        p0 = colliders.cap_p0[c]
+        seg = colliders.cap_p1[c] - p0
+        t = jnp.clip((state.x - p0) @ seg
+                     / jnp.maximum(jnp.dot(seg, seg), 1e-9), 0.0, 1.0)
+        d = jnp.linalg.norm(state.x - (p0 + t[:, None] * seg), axis=-1)
+        mov = mov | (moving & (d < colliders.cap_radius[c] + wake_d))
+    return mov & state.active
+
+
+def wake_masks(state: SimState, params: SimParams,
+               colliders: Colliders | None):
+    """(solve_set, candidate_set) for the active-set solver, in the
+    CURRENT particle order (any order — the dilation is value-based).
+
+    moving   = active and (|v| > 0, never slept, or near a moving
+               kinematic collider)
+    solve    = group-closure(euclidean grid dilation of moving):
+               integrated, contact-solved, shape-matched.
+    candidate = group-closure(one more dilation ring): additionally present
+               in the solve's candidate windows as FROZEN one-sided
+               colliders (invm treated as 0), so frontier particles rest
+               on real support. Everything else is untouched — the FleX
+               sleeping model (NvFlexParams::sleepThreshold) realized with
+               static shapes.
+    """
+    slept = (state.slept if state.slept is not None
+             else jnp.zeros(state.x.shape[0], bool))
+    mov = state.active & ((jnp.sum(state.v ** 2, axis=-1) > 0) | ~slept)
+    if colliders is not None:
+        mov = mov | _kinematic_wake(state, params, colliders)
+    onehot = group_onehot(state)
+    cells = _wake_cells(state.x)
+    s = _group_close(_grid_wake(mov, cells, WAKE_CELLS_SOLVE),
+                     onehot) & state.active
+    c = _group_close(_grid_wake(s, cells, WAKE_CELLS_RING),
+                     onehot) & state.active
+    return s, c
+
+
 def build_cache(state: SimState, params: SimParams,
                 grid_lower=None, grid_dims=None, k: int = None,
-                with_pair_mask: bool = True):
-    """Sort the state by x and precompute the frame-invariant windows
-    (inverse masses, validity, group ids of the prev/own/next tiles) plus
-    the rigid-group one-hot. Returns ``(sorted_state, cache)``.
+                with_pair_mask: bool = True,
+                colliders: Colliders | None = None,
+                active_set: bool = True):
+    """Sort the state by (candidate-set, principal axis) and precompute the
+    frame-invariant solve inputs. Returns ``(sorted_state, cache)``.
+
+    Active-set solving: candidate particles are sorted into a PREFIX of
+    the state array, so the contact windows, integration, and
+    shape-matching of a mostly-sleeping scene run on a small static slice
+    (A_TIERS rows) selected per rebuild — the TPU-shaped equivalent of
+    FleX's per-particle sleeping. ``colliders`` (when given) wakes
+    particles near moving kinematic shapes. ``active_set=False`` keeps
+    every active particle in the solve set (still prefix-sliced past the
+    padding).
 
     grid_lower / grid_dims / k are accepted for call-site compatibility
     with the legacy hash-grid cache and ignored — the sorted-window
     formulation needs no grid. FleX likewise amortizes its grid build
     across the solver update (pyflex.cpp:2045)."""
-    axis = principal_axis(state.x, state.active)
-    state = sort_state(state, axis)
+    n = state.x.shape[0]
+    if state.slept is None:
+        state = state.replace(slept=jnp.zeros(n, bool))
+    if active_set:
+        s_mask, c_mask = wake_masks(state, params, colliders)
+    else:
+        s_mask = c_mask = state.active
+    # sort along the principal axis of the CANDIDATE set: the frozen
+    # suffix's order is irrelevant, and a localized push swath gets an
+    # axis aligned with the swath (tight windows) instead of the pile
+    axis = principal_axis(state.x, c_mask)
+    proj = state.x @ axis
+    key = jnp.where(state.active,
+                    proj + jnp.where(c_mask, 0.0, 1e6),
+                    jnp.float32(3e38))
+    perm = jnp.argsort(key)
+    state = _permute_state(state, perm)
+    key = key[perm]
+    s_sorted = s_mask[perm]
+    c_sorted = c_mask[perm]
+    wi_solve = jnp.where(s_sorted, state.invm, 0.0)
+
     onehot = group_onehot(state)
     inv_counts = 1.0 / jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
+    group_awake = (onehot @ s_sorted.astype(jnp.float32)) > 0.5
 
     # tier selection: the narrowest window whose slot coverage holds every
     # candidate within one search radius along the sort axis
-    # (|axis . dp| <= |dp| < wsearch for any true neighbor pair)
+    # (|axis . dp| <= |dp| < wsearch for any true neighbor pair). Only
+    # candidate rows need coverage; non-candidate rows sort after them
+    # with a +1e6 key offset, so C->nonC gaps auto-pass.
     wsearch = params.radius + 2.0 * params.particle_collision_margin
-    key = jnp.where(state.active, state.x @ axis, jnp.float32(3e38))
 
     def cov_ok(slots: int) -> jnp.ndarray:
         if slots >= key.shape[0]:
             return jnp.bool_(True)  # window spans the whole array
         ahead = jnp.concatenate(
             [key[slots:], jnp.full((slots,), jnp.float32(3.4e38))])
-        # inactive rows (parked at the sorted tail) need no coverage
-        return jnp.all((ahead - key > wsearch) | ~state.active)
+        return jnp.all((ahead - key > wsearch) | ~c_sorted)
 
-    oks = [cov_ok((w - 1) // 2 * TILE) for w in W_TIERS]
-    sel = jnp.where(oks[0], 0, jnp.where(oks[1], 1, 2)).astype(jnp.int32)
+    cov = {w: cov_ok((w - 1) // 2 * TILE) for w in W_TIERS}
+    a_tiers = _branch_plan(n)
+    full_sel = len(a_tiers) + jnp.where(
+        cov[W_TIERS[0]], 0, jnp.where(cov[W_TIERS[1]], 1, 2))
+    sel = full_sel.astype(jnp.int32)
+    n_c = jnp.sum(c_sorted)
+    for i, a in reversed(list(enumerate(a_tiers))):
+        sel = jnp.where((n_c <= a) & cov[5], jnp.int32(i), sel)
     wmax = W_TIERS[-1]
 
     # frame-invariant pair validity at full width, sliced per tier (used
@@ -676,12 +847,15 @@ def build_cache(state: SimState, params: SimParams,
 
     cache = {
         "x_build": state.x,
-        "wj": _window(state.invm, 0.0, wmax),
+        "wj": _window(wi_solve, 0.0, wmax),
+        "wi_solve": wi_solve,
+        "s": s_sorted,
+        "group_awake": group_awake,
         "pair_ok": pair_ok,
         "onehot": onehot,
         "inv_counts": inv_counts,
         "sel": sel,
-        "window_ok": oks[-1],   # diagnostic: even the widest tier covered?
+        "window_ok": cov[W_TIERS[-1]],   # diagnostic: widest tier covered?
     }
     return state, cache
 
@@ -712,24 +886,43 @@ def resolve_pallas(state: SimState) -> bool:
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
                  cache: dict, use_pallas: bool = False) -> SimState:
-    """One display frame on a sorted state (see step_frame). The window
-    tier chosen at cache-build time selects one of three compiled frame
-    bodies via lax.switch; contacts run in the Pallas VMEM-resident
-    kernel on TPU (use_pallas) or the XLA window formulation on CPU."""
+    """One display frame on a sorted state (see step_frame). The branch
+    chosen at cache-build time (active-set prefix size x window tier)
+    selects one of the compiled frame bodies via lax.switch; contacts run
+    in the Pallas VMEM-resident kernel on TPU (use_pallas) or the XLA
+    window formulation on CPU. Particles past the active-set prefix are
+    asleep and bit-identically untouched."""
     from . import contact_kernel as ck
 
     sdt = jnp.float32(params.dt / params.num_substeps)
     gravity = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-    onehot, inv_counts = cache["onehot"], cache["inv_counts"]
-    wi = state.invm
     scal = ck.scalars_from_params(params) if use_pallas else None
-    nt = state.x.shape[0] // TILE
+    N = state.x.shape[0]
+    slept_full = (state.slept if state.slept is not None
+                  else jnp.zeros(N, bool))
 
-    def frame_body(w_tiles: int, state: SimState) -> SimState:
+    def frame_body(a_rows, w_tiles: int, state: SimState) -> SimState:
+        A = N if a_rows is None else a_rows
+        nt = A // TILE
+        wi = cache["wi_solve"][:A]
+        sA = cache["s"][:A]
+        groupA = state.group[:A]
+        activeA = state.active[:A]
+        onehotA = cache["onehot"][:, :A]
+        inv_countsA = 1.0 / jnp.maximum(jnp.sum(onehotA, axis=1), 1.0)
+        stA = state.replace(
+            x=state.x[:A], v=state.v[:A], invm=state.invm[:A],
+            group=groupA, active=activeA, rest=state.rest[:A],
+            order=None, slept=None)
+        cacheA = dict(cache)
+        if cache["pair_ok"].ndim == 3:
+            cacheA["pair_ok"] = cache["pair_ok"][:nt]
+        cacheA["wj"] = cache["wj"][:nt]
+        free = wi > 0
+
         def substep(carry, _):
-            st, quat = carry
-            free = st.invm > 0
-            v = st.v + sdt * gravity * params.gravity_y
+            xA, vA, slA, quat = carry
+            v = vA + sdt * gravity * params.gravity_y
             v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
             speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
             # cap displacement per substep at the interaction radius so
@@ -737,10 +930,10 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
             vcap = jnp.minimum(params.max_speed, params.radius / sdt)
             v = v * jnp.minimum(1.0, vcap / jnp.maximum(speed, 1e-9))
             v = jnp.where(free[:, None], v, 0.0)
-            x0 = st.x
+            x0 = xA
             xp = x0 + sdt * v
             if use_pallas:
-                packed0 = ck.make_packed(x0, wi, st.group, st.active)
+                packed0 = ck.make_packed(x0, wi, groupA, activeA)
 
                 def half_sweep(xp, color):
                     p = ck.set_xp(packed0, xp)
@@ -756,7 +949,7 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
 
                 def half_sweep(xp, color):
                     return solve_contacts_window(
-                        xp, x0, x0w, wi, st.active, st.group, cache,
+                        xp, x0, x0w, wi, activeA, groupA, cacheA,
                         params, w_tiles, color=color)
 
             def round_(xp, quat, colors):
@@ -766,8 +959,9 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
                 for color in colors:
                     xp = half_sweep(xp, color)
                 xp = collide_static(xp, x0, colliders, params, sdt)
-                xp, quat = shape_match(xp, st, params, quat, onehot,
-                                       inv_counts)
+                xp, quat = shape_match(xp, stA, params, quat, onehotA,
+                                       inv_countsA, solve_mask=sA,
+                                       group_keep=cache["group_awake"])
                 return xp, quat
 
             def iteration(carry, _):
@@ -783,22 +977,33 @@ def _step_sorted(state: SimState, params: SimParams, colliders: Colliders,
                 iteration, (xp, quat), None, length=n_pairs)
 
             v_new = (xp - x0) / sdt
-            # sleeping: kill sub-threshold velocities to stop creep
+            # sleeping: kill sub-threshold velocities to stop creep; a
+            # particle that was solved yet stayed put is at a supported
+            # equilibrium -> freezable by the next cache build
             vmag = jnp.linalg.norm(v_new, axis=-1, keepdims=True)
+            slA = jnp.where(free, vmag[:, 0] < params.sleep_threshold, slA)
             v_new = jnp.where(vmag < params.sleep_threshold, 0.0, v_new)
             v_new = jnp.where(free[:, None], v_new, 0.0)
             xp = jnp.where(free[:, None], xp, x0)
-            st = st.replace(x=xp, v=v_new)
-            return (st, quat), None
+            return (xp, v_new, slA, quat), None
 
-        (state, quat), _ = jax.lax.scan(
-            substep, (state, state.group_quat), None,
-            length=params.num_substeps, unroll=params.num_substeps)
-        return state.replace(group_quat=quat)
+        (xA, vA, slA, quat), _ = jax.lax.scan(
+            substep,
+            (state.x[:A], state.v[:A], slept_full[:A], state.group_quat),
+            None, length=params.num_substeps, unroll=params.num_substeps)
 
-    return jax.lax.switch(
-        cache["sel"], [functools.partial(frame_body, w) for w in W_TIERS],
-        state)
+        if A == N:
+            x, v, sl = xA, vA, slA
+        else:
+            x = jnp.concatenate([xA, state.x[A:]], axis=0)
+            v = jnp.concatenate([vA, state.v[A:]], axis=0)
+            sl = jnp.concatenate([slA, slept_full[A:]], axis=0)
+        return state.replace(x=x, v=v, slept=sl, group_quat=quat)
+
+    a_tiers = _branch_plan(N)
+    bodies = ([functools.partial(frame_body, a, 5) for a in a_tiers]
+              + [functools.partial(frame_body, None, w) for w in W_TIERS])
+    return jax.lax.switch(cache["sel"], bodies, state)
 
 
 def step_frame(state: SimState, params: SimParams, colliders: Colliders,
@@ -820,7 +1025,7 @@ def step_frame(state: SimState, params: SimParams, colliders: Colliders,
     if use_pallas is None:
         use_pallas = resolve_pallas(state)
     if cache is None:
-        state, cache = build_cache(state, params)
+        state, cache = build_cache(state, params, colliders=colliders)
         state = _step_sorted(state, params, colliders, cache,
                              use_pallas=use_pallas)
         return unsort_state(state)

@@ -1,0 +1,48 @@
+"""End-to-end closed-loop MPC CI test (SURVEY §4): a small pile, the
+shipped demo GNN checkpoint, a few MPC pushes toward a disc goal — the
+planner reward must improve. Mirrors visualize_mpc.py:57-70 at test scale.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from dyn_res_pile_manip_tpu.env.flex_env import FlexEnv
+from dyn_res_pile_manip_tpu.models.gnn_dyn import PropNetDiffDenModel
+from dyn_res_pile_manip_tpu.train.checkpoints import load_model_params
+from dyn_res_pile_manip_tpu.utils.config import load_config
+from dyn_res_pile_manip_tpu.utils.imaging import gen_subgoal
+
+CKPT = os.path.join(os.path.dirname(__file__), os.pardir,
+                    "assets", "demo_gnn.ckpt")
+
+
+def test_closed_loop_mpc_improves_reward():
+    cfg = load_config(overrides={
+        "dataset": {"init_pos": "center", "obj": "carrots"}})
+    model = PropNetDiffDenModel(cfg)
+    model.params = load_model_params(CKPT)
+
+    env = FlexEnv(cfg)
+    env.push_frame_total = 640   # one compiled push program
+    env.seed(11)
+    env.reset()
+
+    # disc goal offset from the pile center: any competent push sequence
+    # moves mass toward it
+    subgoal, _ = gen_subgoal(310, 410, 90, h=720, w=720)
+    acts, _ = env.sample_action(8)
+
+    out = env.step_subgoal_ptcl(
+        subgoal, model, None, n_mpc=2, n_look_ahead=1, n_sample=8,
+        n_update_iter=12, gd_loop=1, particle_num=30,
+        action_seq_mpc_init=acts.transpose(1, 0, 2),
+        action_label_seq_mpc_init=np.zeros(1),
+        time_lim=float("inf"), auto_particle_r=False)
+
+    rewards = out["rewards"]
+    assert np.isfinite(rewards).all()
+    # reward (higher = better) improves over the initial configuration
+    assert rewards[-1] > rewards[0], rewards
+    assert out["actions"].shape == (2, 4)
+    assert len(out["states"]) == 3

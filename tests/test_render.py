@@ -66,3 +66,37 @@ def test_occlusion_order():
     obs, _ = _render(x, np.ones(2, bool))
     depth = obs[..., 4]
     assert depth.min() < 18.0 - 1.0  # the elevated particle's depth ~17
+
+
+def test_skin_and_shadow_options():
+    """skin expands splats (video path); shadows only darken RGB and
+    leave depth untouched (shadersGL.cpp:984 shadow pass equivalent)."""
+    rng = np.random.default_rng(0)
+    # an elevated clump: casts a real shadow onto the floor beside it
+    x = np.zeros((32, 3), np.float32)
+    x[:, 0] = rng.uniform(-0.1, 0.1, 32)
+    x[:, 2] = rng.uniform(-0.1, 0.1, 32)
+    x[:, 1] = np.linspace(0.3, 0.8, 32)
+    act = np.ones(32, bool)
+    cam = Camera.default(GS, width=240, height=240)
+    fx, fy, cx, cy = cam.cam_params()
+    col = Colliders.ground_only(1)
+
+    def render(**kw):
+        return np.asarray(raster.render_rgbd(
+            jnp.asarray(x), jnp.asarray(act), col,
+            jnp.asarray(cam.opencv_from_world(), jnp.float32),
+            fx, fy, cx, cy, jnp.array([0.9, 0.6, 0.1], jnp.float32),
+            jnp.float32(0.0375), width=240, height=240, **kw))
+
+    plain = render()
+    skin = render(skin=True)
+    shad = render(shadows=True)
+
+    fg = lambda o: (o[..., 4] / GS < 0.599 / 0.8).sum()
+    assert fg(skin) > fg(plain)            # expanded splats
+    np.testing.assert_array_equal(shad[..., 4], plain[..., 4])  # depth same
+    assert (shad[..., :3] <= plain[..., :3] + 1e-4).all()       # only darkens
+    assert (shad[..., :3] < plain[..., :3] - 1e-4).any()        # some shadow
+    for o in (plain, skin, shad):
+        assert o[..., :3].min() >= 1.0 and o[..., :3].max() <= 255.0
