@@ -223,7 +223,10 @@ def build_ball(scene_params: np.ndarray, seed: int) -> SceneBuild:
     """yz_GranularManip ('ball'): a box of free self-colliding grains filled
     from data/box.ply with invMass 1 (yz_granularmanip.h:17-39)."""
     p = np.asarray(scene_params, dtype=np.float64)
-    scale, x, y, z, sf, df, radius = p[:7]
+    scale, x, y, z, sf, df = p[:6]
+    # the reference scene hardcodes radius 0.075 and ignores extra params
+    # (yz_granularmanip.h:20); our env passes it explicitly as p[6]
+    radius = float(p[6]) if p.shape[0] > 6 else 0.075
     rng = np.random.default_rng(seed)
     spacing = radius * 1.0001
     n_side = max(1, int(scale / spacing))

@@ -75,6 +75,14 @@ def set_camAngle(a):
     _rt.cam_angle = np.asarray(a, dtype=np.float64)
 
 
+def get_camPos():
+    return _rt.cam_pos.copy()
+
+
+def get_camAngle():
+    return _rt.cam_angle.copy()
+
+
 def set_scene(idx, scene_params, thread_idx=0):
     _rt.seed += 1
     state, params, build = scene_lib.set_scene(
