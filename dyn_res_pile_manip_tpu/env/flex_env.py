@@ -190,6 +190,19 @@ class FlexEnv:
         self.scene_build = build
         self.n_particles = int(np.asarray(state.active).sum())
 
+        # IK-posed arm for the video/demo renders (flex_env.py:849-853
+        # base poses; physics stays on the pusher board, see env/robot.py)
+        from .robot import FlexRobotHelper
+        self.robot_helper = FlexRobotHelper()
+        if self.robot_type == "franka":
+            self.robot_helper.loadURDF(
+                "franka_panda/panda.urdf", [-4.5 * gs / 8.0, 0.0, 0.0],
+                [0, 0, 0, 1], globalScaling=gs)
+        else:  # kinova (flex_env.py:853)
+            self.robot_helper.loadURDF(
+                "kinova/GEN3_URDF_V12.urdf", [-0.5 * gs, 0.0, 0.0],
+                [0, 0, 0, 1], globalScaling=gs)
+
         # settle 500 frames without walls (flex_env.py:824-825), then add the
         # 4 hidden walls (flex_env.py:828-846) and park the pusher.
         col_no_walls = Colliders.ground_only(num_boxes=5)
@@ -275,12 +288,27 @@ class FlexEnv:
 
     def _raster_with_pusher(self, plan, i: int) -> np.ndarray:
         """Render with the pusher board posed at frame ``i`` of a plan.
-        Video/demo path: skinned rigid hulls + shadow pass (the reference
-        draws skinned meshes and a shadow map here, pyflex.cpp:1183-1400;
-        the perception render() keeps exact splats + no shadows)."""
+        Video/demo path: skinned rigid hulls + shadow pass + the IK-posed
+        arm as capsule proxies (the reference draws skinned meshes, the
+        mirrored robot links, and a shadow map here, pyflex.cpp:1183-1400,
+        1525-1620; the perception render() keeps exact splats)."""
+        import jax.numpy as jnp  # local: keep module import surface small
+
         col = self.colliders.with_box(
             0, plan.center[i], pusher.pusher_half_extents(),
             yaw=float(plan.yaw[i]), active=bool(plan.active[i]))
+        if bool(plan.active[i]) and getattr(self, "robot_helper", None):
+            ee = np.asarray(plan.center[i], np.float64).copy()
+            ee[1] += pusher.PUSHER_LENGTH / 2.0 - 0.01
+            self.robot_helper.set_ee(ee, yaw=float(plan.yaw[i]))
+            caps = self.robot_helper.link_capsules()
+            C = len(caps)
+            col = col.replace(
+                cap_p0=jnp.asarray([c[0] for c in caps], jnp.float32),
+                cap_p1=jnp.asarray([c[1] for c in caps], jnp.float32),
+                cap_radius=jnp.asarray([c[2] for c in caps], jnp.float32),
+                cap_active=jnp.ones((C,), bool),
+                cap_vel=jnp.zeros((C, 3), jnp.float32))
         saved = self.colliders
         self.colliders = col
         try:
@@ -336,8 +364,11 @@ class FlexEnv:
         radii = np.zeros((batch_size,))
         fgpcd_full = pc.depth2fgpcd(depth, depth < FG_THRESHOLD,
                                     self.get_cam_params())
+        # the voxel downsample is deterministic — hoist it out of the
+        # hypothesis loop (the reference recomputes it 30x,
+        # flex_env.py:933-951; only the FPS random start differs per i)
+        fgpcd = pc.downsample_pcd(fgpcd_full, 0.01)
         for i in range(batch_size):
-            fgpcd = pc.downsample_pcd(fgpcd_full, 0.01)
             sampled, r = pc.fps(fgpcd, particle_num)
             out[i] = pc.recenter(fgpcd, sampled, r=min(0.02, 0.5 * r))
             radii[i] = r

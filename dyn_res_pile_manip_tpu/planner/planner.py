@@ -401,7 +401,11 @@ class PlannerGD:
             funnel_dist=None, distractor_df_fn=None, gd_loop=1,
             time_lim=float("inf")):
         """Drop-in equivalent of planners.py:563-871. act_seq:
-        (n_act, traj_num, 4) numpy; state_cur_np: (n_batch, Np, 3)."""
+        (n_act, traj_num, 4) numpy; state_cur_np: (n_batch, Np, 3).
+
+        funnel_dist is accepted for signature parity and unused — the
+        reference also accepts it and never reads it (planners.py:579,
+        673-871)."""
         t_start = time.time()
         self.particle_num = state_cur_np.shape[1]
         n_batch = state_cur_np.shape[0]
