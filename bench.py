@@ -73,7 +73,7 @@ def bench_mpc():
 
     run()   # compile + calibrate
     run()
-    ms_iter = planner._iter_ms[(N, n_batch, traj, 1)]
+    ms_iter = planner._iter_ms[(N, n_batch, traj, 1, False)]
     return traj * n_batch / (ms_iter / 1000.0)
 
 
@@ -125,6 +125,11 @@ def bench_sim_render():
 
     frames = 60
     st, acc = run(state, frames)
+    # second warmup with the POST-run pytree structure: unsort/sleep
+    # bookkeeping materializes optional SimState fields, so the first
+    # re-invocation is a different jit trace — timing it would measure a
+    # compile, not the solver
+    st, acc = run(st, frames)
     jax.block_until_ready(st.x)
     t0 = time.perf_counter()
     st, acc = run(st, frames)
@@ -133,9 +138,85 @@ def bench_sim_render():
     return n * frames / dt
 
 
+def bench_sim_push():
+    """Fused sim+render at the datagen scale (the reference's actual
+    sim-bound workload): the 19.3k-particle 'spread' scene, settled, then
+    a kinematic pusher sweep with per-rebuild active-set tiers.
+
+    Returns (particle_steps_per_sec_push, particle_steps_per_sec_tail)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyn_res_pile_manip_tpu.core.camera import Camera
+    from dyn_res_pile_manip_tpu.env import presets, pusher
+    from dyn_res_pile_manip_tpu.env import scene as scene_lib
+    from dyn_res_pile_manip_tpu.render import raster
+    from dyn_res_pile_manip_tpu.sim import pbd
+
+    gs = 24.0
+    rng = np.random.default_rng(0)
+    params22 = presets.carrots_scene_params("spread", gs, rng)
+    state, sp, build = scene_lib.set_scene(22, params22, seed=1)
+    n = int(np.asarray(state.active).sum())
+    col = scene_lib.make_colliders_with_walls(gs)
+    use_pallas = pbd.resolve_pallas(state)
+    half = jnp.asarray(pusher.pusher_half_extents())
+    cam = Camera.default(gs)
+    fx, fy, cx, cy = cam.cam_params()
+    cvw = jnp.asarray(cam.opencv_from_world(), jnp.float32)
+    color = jnp.asarray(build.color, jnp.float32)
+    rdraw = jnp.float32(float(sp.radius) * 0.5)
+
+    @functools.partial(jax.jit, static_argnames=("frames", "push"))
+    def run(st, frames: int, push: bool, x0=-4.0):
+        st, cache = pbd.build_cache(st, sp, colliders=col,
+                                    with_pair_mask=not use_pallas)
+
+        def body(carry, i):
+            st, cache, acc = carry
+            cx_ = x0 + 0.02 * i
+            c = col.replace(
+                box_center=col.box_center.at[0].set(
+                    jnp.array([cx_, 1.5, 0.0])),
+                box_half=col.box_half.at[0].set(half),
+                box_active=col.box_active.at[0].set(push),
+                box_vel=col.box_vel.at[0].set(jnp.array([1.2, 0.0, 0.0])))
+            st, cache = jax.lax.cond(
+                (i % 16 == 0) | (push & ((i % 2) == 0))
+                | pbd.cache_stale(st, sp, cache),
+                lambda: pbd.build_cache(st, sp, colliders=c,
+                                        with_pair_mask=not use_pallas),
+                lambda: (st, cache))
+            st = pbd.step_frame(st, sp, c, cache=cache,
+                                use_pallas=use_pallas)
+            obs = raster.render_rgbd(st.x, st.active, c, cvw, fx, fy,
+                                     cx, cy, color, rdraw)
+            return (st, cache, acc + obs[::173, ::173, 4].sum()), None
+
+        (st, _, acc), _ = jax.lax.scan(
+            body, (st, cache, jnp.float32(0)), jnp.arange(frames),
+            length=frames)
+        return pbd.unsort_state(st), acc
+
+    st = state
+    for _ in range(4):                       # settle the pile
+        st, acc = run(st, 128, False)
+    _, acc = run(st, 128, True)              # warm the push variant ONLY
+    jax.block_until_ready(acc)
+
+    rates = []
+    for push in (True, False):
+        t0 = time.perf_counter()
+        out, acc = run(st, 128, push)
+        jax.block_until_ready(acc)
+        rates.append(n * 128 / (time.perf_counter() - t0))
+    return rates[0], rates[1]
+
+
 def main():
     mpc = bench_mpc()
     sim = bench_sim_render()
+    sim_push, sim_tail = bench_sim_push()
     print(json.dumps({
         "metric": "gnn_mpc_rollouts_per_sec_64x30_n100",
         "value": round(float(mpc), 1),
@@ -146,6 +227,14 @@ def main():
                 float(sim), 1),
             "sim_vs_flex_estimate": round(
                 float(sim) / REF_SIM_PARTICLE_STEPS_PER_SEC, 4),
+            # the reference's actual sim-bound workload: datagen-scale
+            # (19.3k particles) pusher sweep / settle tail, fused render
+            "fused_sim_render_push_19k_particle_steps_per_sec": round(
+                float(sim_push), 1),
+            "sim_push_19k_vs_flex_estimate": round(
+                float(sim_push) / REF_SIM_PARTICLE_STEPS_PER_SEC, 4),
+            "fused_sim_render_settle_tail_19k_particle_steps_per_sec":
+                round(float(sim_tail), 1),
             "ref_mpc_rollouts_per_sec_fitted": round(
                 REF_MPC_ROLLOUTS_PER_SEC, 1),
         },
