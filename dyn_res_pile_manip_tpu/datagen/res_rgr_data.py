@@ -122,17 +122,20 @@ class GPParamOpt:
         else:
             raise NotImplementedError(mode)
 
-    def gen_dataset(self, save_dir=""):
+    def gen_dataset(self, save_dir="", base_scene=0, n_scenes=None):
+        """base_scene / n_scenes shard the scene range across workers
+        (embarrassingly parallel, like gnn_dyn_data's --base-epi)."""
         from .gp_opt import expected_minimum, gp_minimize_int
 
         self.save_dir = save_dir or self.config["mpc_data"]["folder"]
         os.makedirs(self.save_dir, exist_ok=True)
         save_yaml(self.config, os.path.join(self.save_dir, "config.yaml"))
-        num_scene = self.config["mpc_data"]["num_scene"]
+        num_scene = (n_scenes if n_scenes is not None
+                     else self.config["mpc_data"]["num_scene"])
         mode = self.config["mpc_data"]["mode"]
         gp = self.config["mpc_data"]["gp"]
 
-        for scene_idx in range(num_scene):
+        for scene_idx in range(base_scene, base_scene + num_scene):
             print("generating scene:", scene_idx)
             self._scene_setup(scene_idx, mode)
             self.last_pos = self.env.get_positions()
@@ -194,11 +197,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="")
     ap.add_argument("--config", default=None)
+    ap.add_argument("--base-scene", type=int, default=0)
+    ap.add_argument("--n-scenes", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
     args = ap.parse_args()
     cfg = load_config(args.config) if args.config else load_config(
         "config/data_gen/res_rgr.yaml"
         if os.path.exists("config/data_gen/res_rgr.yaml") else None)
-    GPParamOpt(cfg).gen_dataset(args.dir)
+    if args.seed is not None:
+        np.random.seed(args.seed)
+    opt = GPParamOpt(cfg)
+    if args.seed is not None:
+        opt.env.seed(args.seed)
+    opt.gen_dataset(args.dir, base_scene=args.base_scene,
+                    n_scenes=args.n_scenes)
 
 
 if __name__ == "__main__":
