@@ -121,10 +121,20 @@ class ParticleDataset:
         with open(os.path.join(epi, "actions.p"), "rb") as fp:
             actions = pickle.load(fp)
 
-        depth = self.read_depth_raw(
-            os.path.join(epi, f"{idx_timestep}_depth.png")
-        ).astype(np.float64) / (self.global_scale * 1000.0)
-        fgpcd = pc.depth2fgpcd(depth, depth < FG_THRESHOLD, self.cam_params)
+        # foreground cloud, voxel-prefiltered at 0.01 (the same filter the
+        # env's perception path applies, flex_env.obs2ptcl_fixed_num) and
+        # cached per frame: radius-FPS on the raw ~100k-pixel cloud is a
+        # host-side O(N * particle_num) loop that would starve the trainer
+        # at datagen scale. 0.01 < min sampling radius 1/sqrt(DEN_MAX).
+        def load_fgpcd():
+            depth = self.read_depth_raw(
+                os.path.join(epi, f"{idx_timestep}_depth.png")
+            ).astype(np.float64) / (self.global_scale * 1000.0)
+            full = pc.depth2fgpcd(depth, depth < FG_THRESHOLD,
+                                  self.cam_params)
+            return pc.downsample_pcd(full, 0.01)
+
+        fgpcd = _CACHE.get(("fgpcd", epi, idx_timestep), load_fgpcd)
         sampled = pc.fps_rad(fgpcd, particle_r)
         particle_num = sampled.shape[0]
         sampled = pc.recenter(fgpcd, sampled, r=min(0.02, 0.5 * particle_r))

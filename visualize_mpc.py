@@ -62,12 +62,19 @@ def main():
         n_update_iter=config["mpc"]["n_update_iter"],
         mpc_type=config["mpc"]["mpc_type"],
         gd_loop=config["mpc"]["gd_loop"],
-        particle_num=-1,
+        particle_num=config["mpc"].get("particle_num", -1),
         action_seq_mpc_init=action_seq_mpc_init,
         action_label_seq_mpc_init=np.zeros(1),
         time_lim=config["mpc"]["time_lim"],
-        auto_particle_r=True)
+        # the reference hardcodes auto_particle_r=True
+        # (visualize_mpc.py:84); a config key allows fixed-N baselines
+        auto_particle_r=config["mpc"].get("auto_particle_r", True))
     print("final rewards:", out["rewards"])
+    import json
+    with open("visualize_mpc_result.json", "w") as f:
+        json.dump({"rewards": [float(r) for r in out["rewards"]],
+                   "particle_den_seq": [int(d) for d in
+                                        out["particle_den_seq"]]}, f)
 
 
 if __name__ == "__main__":
