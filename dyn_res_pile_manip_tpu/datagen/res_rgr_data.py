@@ -56,7 +56,13 @@ class GPParamOpt:
         self.screenWidth = self.screenHeight = 720
 
     def param_eval_fn(self, particle_num):
-        particle_num = int(particle_num[0])
+        # quantize to multiples of 4: the jitted planner specializes on
+        # the particle count, so an unbounded Integer(2,100) search space
+        # would compile a fresh optimizer per proposal (30-60 s each on
+        # this host). 25 grid points bound the compile set for the whole
+        # labeling run; the GP's white-noise kernel absorbs the rounding.
+        particle_num = int(np.clip(round(int(particle_num[0]) / 4) * 4,
+                                   4, 100))
         test_repeat = self.config["mpc_data"].get("test_repeat", 5)
         res = np.zeros(test_repeat)
         first_rew = 0.0

@@ -383,6 +383,13 @@ class PlannerGD:
     def _calibrate(self, run_fn, key):
         if key in self._iter_ms:
             return self._iter_ms[key]
+        # particle counts <= ~100 barely move the iteration cost: reuse a
+        # measurement from the same batch geometry instead of paying a
+        # fresh calibration compile per N (GP labeling sweeps many N)
+        for k, ms in self._iter_ms.items():
+            if k[1:] == key[1:] and abs(k[0] - key[0]) <= 60:
+                self._iter_ms[key] = ms
+                return ms
         t0 = time.perf_counter()
         jax.block_until_ready(run_fn(5))
         warm = time.perf_counter() - t0          # includes compile
@@ -448,6 +455,11 @@ class PlannerGD:
         budget = (int(time_lim / ms_per_iter)
                   if np.isfinite(time_lim) else n_update_iter)
         n_iters = int(max(1, min(n_update_iter, budget)))
+        # snap the (jit-static) iteration count to a coarse grid so
+        # time-budgeted runs don't compile a fresh optimizer per
+        # calibration wobble (the budget is approximate anyway)
+        grid = (1, 2, 4, 8, 15, 25, 40, 60, 100, 150, 200, 300, 500)
+        n_iters = max(g for g in grid if g <= max(n_iters, 1))
         print(f"run mpc for {n_iters} iterations "
               f"({ms_per_iter:.1f} ms/iter calibrated)")
 
