@@ -444,8 +444,12 @@ class FlexEnv:
         assert pos.shape[0] == n, (pos.shape, n)
         x = np.asarray(self.state.x).copy()
         x[:n] = pos[:, :3]
+        # slept=None: an externally restored configuration must re-settle
+        # from an all-awake state (the stale sleep mask would otherwise
+        # freeze unsupported particles in mid-air — wake_masks only wakes
+        # v>0 | ~slept particles)
         self.state = self.state.replace(
-            x=jnp.asarray(x), v=jnp.zeros_like(self.state.v))
+            x=jnp.asarray(x), v=jnp.zeros_like(self.state.v), slept=None)
 
     def get_cam_params(self):
         return self.camera.cam_params()

@@ -183,15 +183,21 @@ def set_shape_states(states):
     layout); extra rows are ignored."""
     states = np.asarray(states).reshape(-1, 14)
     col = _rt.colliders
+    dt = _rt.sim_params.dt if _rt.sim_params is not None else 1.0 / 60.0
     for i in range(min(states.shape[0], len(_rt.shapes))):
         kind, idx = _rt.shapes[i]
+        # surface velocity from the (pos, prev_pos) pair the caller
+        # provides (pyflex 14-float shape-state rows) — a kinematic shape
+        # swept through set_shape_states must register as MOVING for both
+        # the friction term and the sleeping solver's wake scan
+        vel = (states[i, :3] - states[i, 3:6]) / dt
         if kind == "box":
             col = col.with_box(idx, states[i, :3], np.asarray(
                 col.box_half[idx]), yaw=_yaw_from_quat(states[i, 6:10]),
-                active=True)
+                active=True, vel=vel)
         elif kind == "mesh":
             col = col.set_mesh_state(idx, states[i, :3],
-                                     _wxyz(states[i, 6:10]))
+                                     _wxyz(states[i, 6:10]), vel=vel)
         # capsules: pose changes unused by current scenes (static tools)
     _rt.colliders = col
 

@@ -723,6 +723,15 @@ def _kinematic_wake(state: SimState, params: SimParams,
                      / jnp.maximum(jnp.dot(seg, seg), 1e-9), 0.0, 1.0)
         d = jnp.linalg.norm(state.x - (p0 + t[:, None] * seg), axis=-1)
         mov = mov | (moving & (d < colliders.cap_radius[c] + wake_d))
+    for m in range(colliders.mesh_sdf.shape[0]):
+        moving = colliders.mesh_active[m] & (
+            jnp.sum(colliders.mesh_vel[m] ** 2) > 0)
+        R = _quat_to_mat(colliders.mesh_quat[m][None])[0]
+        p_local = (state.x - colliders.mesh_pos[m]) @ R
+        sdf, _ = _sample_sdf_grad(
+            colliders.mesh_sdf[m], p_local, colliders.mesh_lower[m],
+            colliders.mesh_inv_spacing[m])
+        mov = mov | (moving & (sdf < wake_d))
     return mov & state.active
 
 
