@@ -29,6 +29,55 @@ def _reward_of_states(states, subgoal, cam_params, particle_num,
     return float(np.asarray(r)[0])
 
 
+def _sim_verify(env, out, action_seq_mpc, k, subgoal, goal_field,
+                goal_coor, particle_num):
+    """Roll the planner's top-k candidate actions through the REAL
+    simulator and execute the one with the best actual reward.
+
+    A TPU-native capability with no reference counterpart: FleX cannot
+    afford K extra full pushes per MPC step, the fused jitted sim can
+    (~2-4 s/push at 19k particles). Counters the planner adversarially
+    selecting actions where the learned model over-predicts gain
+    (measured +13 predicted vs -12 actual mean gain with the round-2
+    checkpoint, scripts/diag_model_gap.py)."""
+    cands = np.asarray(out["candidate_actions"])     # (C, n_act, 4)
+    scores = np.asarray(out["candidate_scores"]).ravel()
+    order = np.argsort(-scores)
+    picked = []
+    for j in order:
+        if any(np.linalg.norm(cands[j] - cands[p]) < 0.1 for p in picked):
+            continue
+        picked.append(int(j))
+        if len(picked) >= k:
+            break
+    pos0 = env.get_positions()
+    best = None                                # (reward, action, pos, obs)
+    for idx, j in enumerate(picked):
+        if idx > 0:
+            env.set_positions(pos0)
+        obs_c = env.step(cands[j][0])
+        if obs_c is None:                      # NaN guard: skip candidate
+            continue
+        ptcl_c, _ = env.obs2ptcl_fixed_num_batch(obs_c, particle_num,
+                                                 batch_size=1)
+        r_c = _reward_of_states(ptcl_c[:1], subgoal, env.get_cam_params(),
+                                particle_num, goal_field, goal_coor)
+        print("  sim_verify cand %d: model %.2f actual %.2f" %
+              (j, scores[j], r_c))
+        if best is None or r_c > best[0]:
+            best = (r_c, cands[j], env.get_positions(), obs_c)
+            best_is_current = True
+        else:
+            best_is_current = False
+    if best is None:                           # all candidates exploded
+        env.set_positions(pos0)
+        return action_seq_mpc, env.step(action_seq_mpc[0])
+    # leave the sim in the winning candidate's post-push state
+    if not best_is_current:
+        env.set_positions(best[2])
+    return best[1], best[3]
+
+
 def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
                       n_look_ahead=1, n_sample=100, n_update_iter=100,
                       gd_loop=1, particle_num=50, mpc_type="GD",
@@ -122,9 +171,17 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         action_seq_mpc = out["action_sequence"]
         iter_num += out["iter_num"]
         print("mpc_step:", i)
-        print("action:", action_seq_mpc[0])
 
-        obs_cur = env.step(action_seq_mpc[0])
+        sim_verify_k = int(env.config["mpc"]["gd"].get("sim_verify", 0)) \
+            if mpc_type == "GD" else 0
+        if sim_verify_k > 0 and "candidate_actions" in out:
+            action_seq_mpc, obs_cur = _sim_verify(
+                env, out, action_seq_mpc, sim_verify_k, subgoal,
+                goal_field, goal_coor, particle_num)
+            print("action:", action_seq_mpc[0])
+        else:
+            print("action:", action_seq_mpc[0])
+            obs_cur = env.step(action_seq_mpc[0])
         if obs_cur is None:
             raise Exception("sim exploded")
 

@@ -380,6 +380,27 @@ class PlannerGD:
         _, r_final = loss_fn(acts)
         return acts, best_r, best_traj, best_act, r_mean, r_std, r_final
 
+    @functools.partial(jax.jit, static_argnames=("self", "model_dy"))
+    def _cross_eval(self, model_dy, params, s_cur, s_param, a_cur, cands,
+                    goal_field, goal_coor):
+        """Mean model reward of each candidate action sequence across ALL
+        state hypotheses. cands: (C, n_act, 4) -> (C,).
+
+        Used by robust_select: the per-hypothesis argmax can crown an
+        action that only looks good under one FPS resample of the cloud
+        (model-error exploitation); scoring every finalist under the full
+        hypothesis ensemble keeps only actions robust to perception
+        noise. Selection-side extension of the reference's majority vote
+        (planners.py:771-781)."""
+        C = cands.shape[0]
+        n_batch = s_cur.shape[0]
+        acts = jnp.repeat(cands, n_batch, axis=0)      # (C*n_batch, n_act, 4)
+        pred = self.ptcl_model_rollout(model_dy, params, s_cur, s_param,
+                                       a_cur, acts)
+        cam = tuple(jnp.float32(c) for c in self.cam_params)
+        r = rew.config_reward_ptcl(pred[:, -1], goal_field, cam, goal_coor)
+        return jnp.mean(r.reshape(C, n_batch), axis=1)
+
     def _calibrate(self, run_fn, key):
         if key in self._iter_ms:
             return self._iter_ms[key]
@@ -485,6 +506,19 @@ class PlannerGD:
                 idx_best_sample, best_reward = j, best_r[j]
         action_seq_future = best_act[idx_best_sample]     # (n_act, 4)
 
+        candidate_actions, candidate_scores = best_act, best_r
+        if self.config["mpc"]["gd"].get("robust_select", False):
+            # re-score every hypothesis's best action under the FULL
+            # hypothesis ensemble; execute the one with the best mean
+            cands = jnp.asarray(best_act, jnp.float32)    # (n_batch, n_act, 4)
+            mean_r = np.asarray(self._cross_eval(
+                model_dy, model_params, s_cur, s_param, a_cur, cands,
+                goal_field, goal_coor))
+            j = int(np.argmax(mean_r))
+            action_seq_future = best_act[j]
+            best_reward = float(mean_r[j])
+            candidate_scores = mean_r
+
         # rollout the chosen sequence for reporting
         obs_seq_best = None
         next_r = np.zeros((1,))
@@ -506,6 +540,10 @@ class PlannerGD:
         rew_std[0, :n_iters] = r_std
         return {
             "action_sequence": action_seq_future,
+            # per-hypothesis best finalists + their model scores, for
+            # downstream selection layers (sim-verify in the driver)
+            "candidate_actions": np.asarray(candidate_actions),
+            "candidate_scores": np.asarray(candidate_scores),
             "action_full": np.asarray(acts).reshape(
                 traj_num, n_batch, n_act, 4)[:, 0, 0],
             "reward_full": np.asarray(r_final).reshape(

@@ -111,8 +111,35 @@ def set_positions(positions):
     pos = np.asarray(positions).reshape(-1, 4)
     x = np.asarray(_rt.state.x).copy()
     x[:pos.shape[0]] = pos[:, :3]
+    # slept=None: overwritten configurations re-settle from all-awake
     _rt.state = _rt.state.replace(x=jnp.asarray(x),
-                                  v=jnp.zeros_like(_rt.state.v))
+                                  v=jnp.zeros_like(_rt.state.v),
+                                  slept=None)
+
+
+def get_velocities():
+    """Active-particle velocities, flat (n*3,) (pyflex.get_velocities,
+    pyflex.cpp pybind surface)."""
+    act = np.asarray(_rt.state.active)
+    return np.asarray(_rt.state.v)[act].reshape(-1).copy()
+
+
+def set_velocities(velocities):
+    import jax.numpy as jnp
+
+    vel = np.asarray(velocities).reshape(-1, 3)
+    v = np.asarray(_rt.state.v).copy()
+    v[:vel.shape[0]] = vel
+    _rt.state = _rt.state.replace(v=jnp.asarray(v), slept=None)
+
+
+def get_phases():
+    """Per-particle phase ids, flat (n,) (pyflex.get_phases). FleX packs
+    NvFlexMakePhase(group, flags) ints; the analog here is the rigid
+    group id (-1 = free particle), which carries the same collision-
+    filtering meaning (NvFlex.h:160-176)."""
+    act = np.asarray(_rt.state.active)
+    return np.asarray(_rt.state.group)[act].reshape(-1).copy()
 
 
 def step(*_args, **_kw):

@@ -18,8 +18,17 @@ CKPT = os.path.join(os.path.dirname(__file__), os.pardir,
 
 
 def test_closed_loop_mpc_improves_reward():
+    # the perception FPS random start consumes GLOBAL numpy RNG state
+    # (reference fps_np does too, utils.py:451-466) — pin it so the test
+    # is order-independent; without this the marginal 12-sample/20-iter
+    # optimizer can land on a non-improving trajectory in isolation
+    np.random.seed(7)
     cfg = load_config(overrides={
-        "dataset": {"init_pos": "center", "obj": "carrots"}})
+        "dataset": {"init_pos": "center", "obj": "carrots"},
+        # sim-verify the planner's top-2 candidates in the real sim
+        # (mpc_driver._sim_verify): the CI loop must not depend on the
+        # tiny demo checkpoint being accurate, only on the machinery
+        "mpc": {"gd": {"sim_verify": 2, "robust_select": True}}})
     model = PropNetDiffDenModel(cfg)
     model.params = load_model_params(CKPT)
 
