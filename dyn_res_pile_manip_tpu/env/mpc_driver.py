@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..planner.planner import PlannerGD
+from ..utils.imaging import gt_rewards
 from . import rewards as rew
 
 FG_THRESHOLD = 0.599 / 0.8
@@ -29,17 +30,31 @@ def _reward_of_states(states, subgoal, cam_params, particle_num,
     return float(np.asarray(r)[0])
 
 
-def _sim_verify(env, out, action_seq_mpc, k, subgoal, goal_field,
-                goal_coor, particle_num):
+def _gt_cost_of_obs(env, obs, subgoal):
+    """Deterministic image-space task cost of a raw observation (lower is
+    better): the reference's headline metric gt_rewards (utils.py:546-554)
+    on the rendered foreground mask. Unlike the FPS-subsampled particle
+    reward (which varies +-5% run to run from sampling alone), this is a
+    pure function of the sim state, so it can rank candidate pushes whose
+    true outcomes differ by less than the sampling noise."""
+    mask = (np.asarray(obs[..., -1]) / env.global_scale
+            < FG_THRESHOLD).astype(np.float32)
+    return float(gt_rewards(mask, subgoal))
+
+
+def _sim_verify(env, out, action_seq_mpc, k, subgoal, cur_cost=None):
     """Roll the planner's top-k candidate actions through the REAL
-    simulator and execute the one with the best actual reward.
+    simulator and execute the one with the best actual outcome.
 
     A TPU-native capability with no reference counterpart: FleX cannot
     afford K extra full pushes per MPC step, the fused jitted sim can
     (~2-4 s/push at 19k particles). Counters the planner adversarially
     selecting actions where the learned model over-predicts gain
     (measured +13 predicted vs -12 actual mean gain with the round-2
-    checkpoint, scripts/diag_model_gap.py)."""
+    checkpoint, scripts/diag_model_gap.py). Candidates are ranked by the
+    deterministic image-space gt cost, not the FPS-sampled particle
+    reward, whose ~5% sampling noise would otherwise dominate the
+    between-candidate differences."""
     cands = np.asarray(out["candidate_actions"])     # (C, n_act, 4)
     scores = np.asarray(out["candidate_scores"]).ravel()
     order = np.argsort(-scores)
@@ -51,29 +66,37 @@ def _sim_verify(env, out, action_seq_mpc, k, subgoal, goal_field,
         if len(picked) >= k:
             break
     pos0 = env.get_positions()
-    best = None                                # (reward, action, pos, obs)
-    for idx, j in enumerate(picked):
-        if idx > 0:
+    best = None                                # (gt_cost, action, pos, obs)
+    stepped = 0
+
+    def try_action(act_seq, label):
+        nonlocal best, stepped
+        if stepped > 0:
             env.set_positions(pos0)
-        obs_c = env.step(cands[j][0])
+        stepped += 1
+        obs_c = env.step(act_seq[0])
         if obs_c is None:                      # NaN guard: skip candidate
-            continue
-        ptcl_c, _ = env.obs2ptcl_fixed_num_batch(obs_c, particle_num,
-                                                 batch_size=1)
-        r_c = _reward_of_states(ptcl_c[:1], subgoal, env.get_cam_params(),
-                                particle_num, goal_field, goal_coor)
-        print("  sim_verify cand %d: model %.2f actual %.2f" %
-              (j, scores[j], r_c))
-        if best is None or r_c > best[0]:
-            best = (r_c, cands[j], env.get_positions(), obs_c)
-            best_is_current = True
-        else:
-            best_is_current = False
+            return
+        c_c = _gt_cost_of_obs(env, obs_c, subgoal)
+        print("  sim_verify %s: actual_gt_cost %.4f" % (label, c_c))
+        if best is None or c_c < best[0]:
+            best = (c_c, act_seq, env.get_positions(), obs_c)
+
+    for j in picked:
+        try_action(cands[j], "cand %d (model %.2f)" % (j, scores[j]))
+    # Fallback: when no planner candidate beats the current state, the
+    # model is being exploited at this configuration -- widen the pool
+    # with object-biased random pushes and sim-score those too (another
+    # sim-speed dividend; the reference cannot afford it).
+    if cur_cost is not None and (best is None or best[0] >= cur_cost):
+        for m, act in enumerate(np.asarray(env.sample_action_obj_biased(k))):
+            try_action(np.tile(act[None], (len(action_seq_mpc), 1)),
+                       "rand %d" % m)
     if best is None:                           # all candidates exploded
         env.set_positions(pos0)
         return action_seq_mpc, env.step(action_seq_mpc[0])
     # leave the sim in the winning candidate's post-push state
-    if not best_is_current:
+    if not np.allclose(best[2], env.get_positions()):
         env.set_positions(best[2])
     return best[1], best[3]
 
@@ -124,6 +147,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         particle_den_seq.append(particle_num)
 
     rewards = np.zeros(n_mpc + 1)
+    gt_costs = np.zeros(n_mpc + 1)
     raw_obs = np.zeros((n_mpc + 1, env.screenHeight, env.screenWidth, 5))
     states, states_pred = [], []
     actions = np.zeros((n_mpc, env.act_dim))
@@ -134,6 +158,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         env.set_positions(init_pos)
     obs_cur = env.render()
     raw_obs[0] = obs_cur
+    gt_costs[0] = _gt_cost_of_obs(env, obs_cur, subgoal)
 
     obs_cur, particle_r = env.obs2ptcl_fixed_num_batch(
         obs_cur, particle_num, batch_size=30)
@@ -177,7 +202,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         if sim_verify_k > 0 and "candidate_actions" in out:
             action_seq_mpc, obs_cur = _sim_verify(
                 env, out, action_seq_mpc, sim_verify_k, subgoal,
-                goal_field, goal_coor, particle_num)
+                cur_cost=gt_costs[i])
             print("action:", action_seq_mpc[0])
         else:
             print("action:", action_seq_mpc[0])
@@ -194,6 +219,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
             particle_den_seq.append(particle_num)
 
         raw_obs[i + 1] = obs_cur
+        gt_costs[i + 1] = _gt_cost_of_obs(env, obs_cur, subgoal)
         obs_cur, particle_r = env.obs2ptcl_fixed_num_batch(
             obs_cur, particle_num, batch_size=30)
         particle_den = float(1 / (particle_r[0] ** 2))
@@ -220,8 +246,10 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
             if action_label_seq_mpc_init is not None:
                 action_label_seq_mpc_init = action_label_seq_mpc_init[1:]
         print("rewards: {}".format(rewards))
+        print("gt_costs: {}".format(np.array2string(gt_costs, precision=4)))
         print()
-    return {"rewards": rewards, "raw_obs": raw_obs, "states": states,
+    return {"rewards": rewards, "gt_costs": gt_costs,
+            "raw_obs": raw_obs, "states": states,
             "actions": actions, "states_pred": states_pred,
             "rew_means": rew_means, "rew_stds": rew_stds,
             "total_time": total_time, "rollout_time": rollout_time,

@@ -70,9 +70,11 @@ def main():
         # (visualize_mpc.py:84); a config key allows fixed-N baselines
         auto_particle_r=config["mpc"].get("auto_particle_r", True))
     print("final rewards:", out["rewards"])
+    print("gt_costs:", out["gt_costs"])
     import json
     with open("visualize_mpc_result.json", "w") as f:
         json.dump({"rewards": [float(r) for r in out["rewards"]],
+                   "gt_costs": [float(c) for c in out["gt_costs"]],
                    "particle_den_seq": [int(d) for d in
                                         out["particle_den_seq"]]}, f)
 
