@@ -42,7 +42,8 @@ def _gt_cost_of_obs(env, obs, subgoal):
     return float(gt_rewards(mask, subgoal))
 
 
-def _sim_verify(env, out, action_seq_mpc, k, subgoal, cur_cost=None):
+def _sim_verify(env, out, action_seq_mpc, k, subgoal, cur_cost=None,
+                allow_noop=False):
     """Roll the planner's top-k candidate actions through the REAL
     simulator and execute the one with the best actual outcome.
 
@@ -95,6 +96,15 @@ def _sim_verify(env, out, action_seq_mpc, k, subgoal, cur_cost=None):
     if best is None:                           # all candidates exploded
         env.set_positions(pos0)
         return action_seq_mpc, env.step(action_seq_mpc[0])
+    # Near convergence every push may disturb the formed shape; when
+    # enabled, keep the current state rather than execute a verified
+    # regression (the recorded action is the unexecuted least-bad
+    # candidate). Config key mpc.gd.sim_verify_noop.
+    if allow_noop and cur_cost is not None and best[0] >= cur_cost:
+        print("  sim_verify: no candidate improves (best %.4f >= cur %.4f);"
+              " holding state" % (best[0], cur_cost))
+        env.set_positions(pos0)
+        return best[1], env.render()
     # leave the sim in the winning candidate's post-push state
     if not np.allclose(best[2], env.get_positions()):
         env.set_positions(best[2])
@@ -202,7 +212,9 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         if sim_verify_k > 0 and "candidate_actions" in out:
             action_seq_mpc, obs_cur = _sim_verify(
                 env, out, action_seq_mpc, sim_verify_k, subgoal,
-                cur_cost=gt_costs[i])
+                cur_cost=gt_costs[i],
+                allow_noop=bool(env.config["mpc"]["gd"].get(
+                    "sim_verify_noop", False)))
             print("action:", action_seq_mpc[0])
         else:
             print("action:", action_seq_mpc[0])
