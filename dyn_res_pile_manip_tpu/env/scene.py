@@ -35,6 +35,23 @@ class SceneBuild:
     # draw rigid groups as skinned hulls (scene param draw_skin,
     # yx_carrots.h:69-81); consumed by the video/demo render path
     draw_skin: bool = False
+    # ---- XPBD scene families (fluids / springs / cloth; sim/xpbd.py) ----
+    velocities: np.ndarray | None = None   # (n, 3) initial velocities
+    springs: np.ndarray | None = None      # (S, 4) rows [i, j, rest, stiff]
+    triangles: np.ndarray | None = None    # (T, 3) cloth triangles
+    fluid_mask: np.ndarray | None = None   # (n,) bool eNvFlexPhaseFluid
+    # fluid_rest / solid_rest / kernel_h / cohesion / viscosity / wind /
+    # drag for sim.xpbd.XConstraints.build; None = pure granular scene
+    # (steps through the sim.pbd active-set solver instead)
+    xparams: dict | None = None
+    control_idx: list | None = None        # scene Update() control points
+    scene_kind: str = "granular"           # update_params dispatch key
+    # extra static half-spaces from numPlanes > 1 (pyflex.cpp:793-798)
+    extra_planes: np.ndarray | None = None  # (P, 4)
+
+    @property
+    def uses_xpbd(self) -> bool:
+        return self.xparams is not None
 
 
 def _fill_shape(inside_fn, orig_lower, orig_upper, lower, scale, spacing,
@@ -314,8 +331,11 @@ def set_scene(scene_idx: int, scene_params: np.ndarray, seed: int = 0,
     quat = np.zeros((g_cap, 4), dtype=np.float32)
     quat[:, 0] = 1.0
 
+    v = np.zeros((cap, 3), dtype=np.float32)
+    if build.velocities is not None:
+        v[:n] = build.velocities
     state = SimState(
-        x=jnp.asarray(x), v=jnp.zeros((cap, 3), jnp.float32),
+        x=jnp.asarray(x), v=jnp.asarray(v),
         invm=jnp.asarray(invm), group=jnp.asarray(group),
         active=jnp.asarray(active), rest=jnp.asarray(rest),
         group_quat=jnp.asarray(quat),

@@ -17,8 +17,9 @@ import numpy as np
 from .core.camera import Camera, projection_matrix, view_matrix
 from .core.types import Colliders
 from .env import scene as scene_lib
+from .env import scenes_extra  # noqa: F401  (registers scenes 0-19)
 from .render import raster
-from .sim import pbd
+from .sim import pbd, xpbd
 
 
 class _Runtime:
@@ -38,6 +39,13 @@ class _Runtime:
         self.shapes = []  # user shape registry, in add order: (kind, idx)
         self.grid = pbd.default_grid(24.0)
         self.seed = 0
+        # XPBD scene families (fluids / springs / cloth; sim/xpbd.py)
+        self.xc = None
+        self.w_tiles = None
+        self.grabbed = None  # cloth_manip grabbed control point
+        # capacity bucket (tests shrink it for small-scene speed; must
+        # stay a multiple of sim.pbd.TILE)
+        self.capacity_multiple = 1024
 
 
 _rt = _Runtime()
@@ -84,14 +92,31 @@ def get_camAngle():
 
 
 def set_scene(idx, scene_params, thread_idx=0):
+    import jax.numpy as jnp
+
     _rt.seed += 1
     state, params, build = scene_lib.set_scene(
-        int(idx), np.asarray(scene_params, np.float64), seed=_rt.seed)
+        int(idx), np.asarray(scene_params, np.float64), seed=_rt.seed,
+        capacity_multiple=_rt.capacity_multiple)
     _rt.state, _rt.sim_params, _rt.build = state, params, build
     _rt.colliders = Colliders.ground_only(num_boxes=8)
     _rt.n_boxes = 1
     _rt.n_capsules = 0
     _rt.shapes = []
+    _rt.grabbed = None
+    if build.extra_planes is not None:
+        # numPlanes > 1: the scene's own boundary walls (pyflex.cpp:793-798)
+        _rt.colliders = _rt.colliders.replace(
+            planes=jnp.asarray(build.extra_planes, jnp.float32))
+    if build.uses_xpbd:
+        cap = state.capacity
+        _rt.xc = xpbd.XConstraints.build(
+            cap, springs=build.springs, fluid_mask=build.fluid_mask,
+            triangles=build.triangles, **build.xparams)
+        _rt.w_tiles = xpbd.default_w_tiles(cap)
+    else:
+        _rt.xc = None
+        _rt.w_tiles = None
 
 
 def get_n_particles():
@@ -142,7 +167,50 @@ def get_phases():
     return np.asarray(_rt.state.group)[act].reshape(-1).copy()
 
 
-def step(*_args, **_kw):
+def _apply_update_params(update_params):
+    """Per-scene Update() semantics: move pinned control particles by the
+    given deltas (yz_massrope.h:100-117, yz_flag.h:89-127,
+    yz_clothmanip.h:104-130 grab/release)."""
+    import jax.numpy as jnp
+
+    u = np.asarray(update_params, np.float64).reshape(-1)
+    kind = _rt.build.scene_kind
+    ctrl = _rt.build.control_idx or []
+    dt = _rt.sim_params.dt
+    x = np.asarray(_rt.state.x).copy()
+    v = np.asarray(_rt.state.v).copy()
+    invm = None
+    if kind == "mass_rope" and len(ctrl) >= 1:
+        moves = [(ctrl[0], u[0:3])]
+    elif kind == "flag" and len(ctrl) >= 2:
+        moves = [(ctrl[0], u[0:3]), (ctrl[1], u[3:6])]
+    elif kind == "cloth_manip":
+        c = ctrl[int(u[0])]
+        invm = np.asarray(_rt.state.invm).copy()
+        if _rt.grabbed is not None and _rt.grabbed != c:
+            invm[_rt.grabbed] = float(_rt.build.invm[_rt.grabbed])
+        invm[c] = 0.0
+        _rt.grabbed = c
+        moves = [(c, u[1:4])]
+    else:
+        return
+    for i, d in moves:
+        x[i] += d
+        v[i] = d / dt
+    st = _rt.state.replace(x=jnp.asarray(x), v=jnp.asarray(v))
+    if invm is not None:
+        st = st.replace(invm=jnp.asarray(invm))
+    _rt.state = st
+
+
+def step(update_params=None, *_args, **_kw):
+    if _rt.xc is not None:
+        if update_params is not None:
+            _apply_update_params(update_params)
+        _rt.state = xpbd.step_frame_xpbd(
+            _rt.state, _rt.xc, _rt.sim_params, _rt.colliders,
+            w_tiles=_rt.w_tiles)
+        return
     lower, dims = _rt.grid
     _rt.state = pbd.step_frame(_rt.state, _rt.sim_params, _rt.colliders,
                                lower, dims)

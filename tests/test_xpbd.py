@@ -1,0 +1,265 @@
+"""Tests for the XPBD scene families (fluids / cloth / ropes / rigid
+bodies; sim/xpbd.py + env/scenes_extra.py), covering the reference scene
+registry indices 0-19 (PyFleX/bindings/pyflex.cpp:2458-2502)."""
+import numpy as np
+import pytest
+
+from dyn_res_pile_manip_tpu import pyflex_shim as pf
+from dyn_res_pile_manip_tpu.env import scene as scene_lib
+from dyn_res_pile_manip_tpu.env import scenes_extra
+from dyn_res_pile_manip_tpu.sim import xpbd
+
+
+@pytest.fixture(autouse=True)
+def small_capacity():
+    pf._rt.capacity_multiple = 128
+    yield
+    pf._rt.capacity_multiple = 1024
+
+
+def _active_xv():
+    act = np.asarray(pf._rt.state.active)
+    return (np.asarray(pf._rt.state.x)[act],
+            np.asarray(pf._rt.state.v)[act])
+
+
+def test_registry_indices():
+    """All 24 reference registry slots resolve; soft-body slots raise
+    with a porting note (not silently missing)."""
+    for idx in [0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 13, 15, 17, 19,
+                18, 20, 21, 22, 23]:
+        assert idx in scene_lib.SCENE_REGISTRY
+    for idx in [5, 11, 12, 14, 16]:
+        with pytest.raises(NotImplementedError):
+            scene_lib.SCENE_REGISTRY[idx](np.zeros(30), 0)
+
+
+def test_spring_grid_topology():
+    """CreateSpringGrid spring counts (helpers.h:1226-1313): per node up
+    to 2 stretch + 2 bend + 2 shear in the two passes."""
+    pos, springs, tris = scenes_extra.spring_grid(
+        (0, 0, 0), 4, 3, 0.1, 0.9, 0.5, 0.7)
+    assert pos.shape == (12, 3)
+    # horizontal: stretch (x>0): 3*3=9, bend (x>1): 2*3=6,
+    # shear: 2 diagonals per (y>0, x-bounds): 3+3=6... counted per loop:
+    n_stretch = 3 * 3 + 4 * 2   # (dimx-1)*dimy + dimx*(dimy-1)
+    n_bend = 2 * 3 + 4 * 1      # (dimx-2)*dimy + dimx*(dimy-2)
+    n_shear = 3 * 2 + 3 * 2     # both diagonals
+    assert springs.shape[0] == n_stretch + n_bend + n_shear
+    assert tris.shape[0] == 2 * 3 * 2  # 2 per quad
+    # rest lengths match as-built distances
+    i = springs[:, 0].astype(int)
+    j = springs[:, 1].astype(int)
+    d = np.linalg.norm(pos[i] - pos[j], axis=1)
+    np.testing.assert_allclose(springs[:, 2], d, rtol=1e-6)
+
+
+def test_bound_planes():
+    """pyflex.cpp:784-798: bounds = union(scene, particles) +- cd; plane
+    order ground, z-lo, x-lo, x-hi, z-hi."""
+    pts = np.array([[0.5, 0.2, 0.3], [-0.1, 0.0, 0.9]])
+    planes = scenes_extra.bound_planes((0, 0, 0), (1.6, 0, 0.8), pts, 5,
+                                       0.01)
+    assert planes.shape == (5, 4)
+    # x walls at -0.11 and 1.61
+    assert planes[2][3] == pytest.approx(0.11)
+    assert planes[3][3] == pytest.approx(1.61)
+    # every particle satisfies n.x + d >= 0
+    for p in planes:
+        assert np.all(pts @ p[:3] + p[3] >= 0)
+
+
+def test_fluid_block_settles_in_container():
+    """A small fluid block dropped into a four-wall glass (FluidShake
+    pattern: scene 6 + add_box container, yz_fluidshake.h + the
+    examples/test_FluidShake.py driving script): stays contained, no NaN,
+    settles to a shallow pool at plausible density."""
+    pf.init()
+    pf.set_scene(6, np.array([0.06, 0.25, 0.06, 6, 8, 6, 0, 0, 0]))
+    # glass: 4 walls around [0, 0.45] x [0, 0.45]
+    halfs = [(0.01, 0.4, 0.25), (0.01, 0.4, 0.25),
+             (0.25, 0.4, 0.01), (0.25, 0.4, 0.01)]
+    centers = [(-0.01, 0.4, 0.22), (0.46, 0.4, 0.22),
+               (0.22, 0.4, -0.01), (0.22, 0.4, 0.46)]
+    for h, c in zip(halfs, centers):
+        pf.add_box(np.array(h), np.array(c), np.array([0, 0, 0, 1.0]))
+    for _ in range(80):
+        pf.step()
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    # contained (small tolerance for the wall collision margin)
+    assert x[:, 0].min() > -0.05 and x[:, 0].max() < 0.50
+    assert x[:, 2].min() > -0.05 and x[:, 2].max() < 0.50
+    assert x[:, 1].min() > 0.0
+    # settled into a pool: median surface well below the drop height
+    assert np.median(x[:, 1]) < 0.25
+    # bulk is calm (front/surface particles may still skitter)
+    assert np.median(np.linalg.norm(v, axis=1)) < 0.5
+    # interior density plausible: mean nearest-neighbor distance within
+    # 35% of the rest distance
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(x).query(x, k=2)
+    assert abs(np.median(d[:, 1]) - 0.055) / 0.055 < 0.35
+
+
+def test_rigid_fall_preserves_shape():
+    """Scene 3 (yz_rigidfall.h): rigid boxes fall to the ground and keep
+    their particle geometry rigid (pairwise extents preserved)."""
+    pf.init()
+    params = np.array([2.0, -9.8,
+                       0.1, 0.3, 0.1,
+                       0.4, 0.5, 0.12,
+                       0.0])
+    pf.set_scene(3, params)
+    act = np.asarray(pf._rt.state.active)
+    grp = np.asarray(pf._rt.state.group)[act]
+    x0, _ = _active_xv()
+    ext0 = [np.ptp(x0[grp == g], axis=0) for g in (0, 1)]
+    for _ in range(90):
+        pf.step()
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    # landed: lowest particles near the ground
+    assert x[:, 1].min() < 0.05
+    # rigid extents preserved within 15%
+    for g in (0, 1):
+        ext = np.ptp(x[grp == g], axis=0)
+        np.testing.assert_allclose(ext, ext0[g], rtol=0.15, atol=0.02)
+
+
+def test_rice_fall_settles():
+    """Scene 4 (yz_ricefall.h): free grains under 4x gravity settle into
+    a pile without exploding."""
+    pf.init()
+    pf.set_scene(4, np.zeros(1))
+    for _ in range(80):
+        pf.step()
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    assert x[:, 1].min() > -0.01
+    assert x[:, 1].max() < 0.6          # both blocks down from y~0.7
+    assert np.median(np.linalg.norm(v, axis=1)) < 1.0
+
+
+def test_mass_rope_hangs_and_drags():
+    """Scene 9 (yz_massrope.h): the ball hangs from the pinned rope end;
+    moving the control point through Update() drags the ball."""
+    pf.init()
+    pf.set_scene(9, np.array([0.0, 0.5, 0.0, 1.0, 0.8, 0.0]))
+    ctrl = pf._rt.build.control_idx[0]
+    for _ in range(50):
+        pf.step(update_params=np.zeros(3))
+    x = np.asarray(pf._rt.state.x)
+    act = np.asarray(pf._rt.state.active)
+    assert not np.isnan(x[act]).any()
+    top = x[ctrl]
+    ball = x[:100][act[:100]]
+    # ball below the pinned end, connected (within rope length + slack)
+    assert ball[:, 1].mean() < top[1]
+    assert np.linalg.norm(ball.mean(0) - top) < 1.6
+    # drag the control sideways; the ball must follow
+    bx0 = ball[:, 0].mean()
+    for _ in range(60):
+        pf.step(update_params=np.array([0.01, 0.0, 0.0]))
+    x = np.asarray(pf._rt.state.x)
+    ball = x[:100][act[:100]]
+    assert x[ctrl][0] > top[0] + 0.55
+    assert ball[:, 0].mean() > bx0 + 0.2
+
+
+def test_flag_cloth_drapes_and_feels_wind():
+    """Scene 10 (yz_flag.h): corners stay pinned, the sheet drapes with
+    bounded stretch, and wind pushes it along -z."""
+    pf.init()
+    pf.set_scene(10, np.array([1.0, 16, 12, 0.9, 0.5, 0.6, 0.0, 0.0]))
+    for _ in range(50):
+        pf.step(update_params=np.zeros(6))
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    np.testing.assert_allclose(x[0], [0.0, 1.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(x[15], [15 * 0.05, 1.0, 0.0], atol=1e-5)
+    # drapes downward, stays above ground
+    assert x[:, 1].min() < 0.75 and x[:, 1].min() >= 0.0
+    # stretch of the top structural row bounded
+    d = np.linalg.norm(x[1:16] - x[0:15], axis=1)
+    assert d.max() < 0.05 * 1.3
+    z0 = x[:, 2].mean()
+    # turn on wind along -z (windStrength semantics, yz_flag.h:92-98)
+    pf.set_scene(10, np.array([1.0, 16, 12, 0.9, 0.5, 0.6, 1.5, 0.0]))
+    for _ in range(50):
+        pf.step(update_params=np.zeros(6))
+    x, _ = _active_xv()
+    assert x[:, 2].mean() < z0 - 0.05
+
+
+def test_cloth_manip_grab():
+    """Scene 15 (yz_clothmanip.h): Update() grabs a control point (invm
+    -> 0), moves it, and releases the previous grab."""
+    pf.init()
+    dimx = dimy = 12
+    ctrl = [0, 5, 11, 60, 71, 132, 137, 143]
+    params = np.concatenate([
+        [0.0, 0.5, 0.0, 0.0, dimx, dimy, 1],
+        ctrl,
+        [0.9, 0.5, 0.6],
+        [0.25, 0.0, 0.25],
+        [1.0],     # invMass
+        [0.0, 0.0]])
+    pf.set_scene(15, params)
+    for _ in range(10):
+        pf.step(update_params=np.array([0.0, 0.0, 0.0, 0.0]))
+    invm = np.asarray(pf._rt.state.invm)
+    assert invm[ctrl[0]] == 0.0
+    y0 = float(np.asarray(pf._rt.state.x)[ctrl[3], 1])
+    # grab control 3 and lift it
+    for _ in range(30):
+        pf.step(update_params=np.array([3.0, 0.0, 0.01, 0.0]))
+    invm = np.asarray(pf._rt.state.invm)
+    assert invm[ctrl[3]] == 0.0
+    assert invm[ctrl[0]] == 1.0         # released
+    x = np.asarray(pf._rt.state.x)
+    assert x[ctrl[3], 1] > y0 + 0.25
+    xa, _ = _active_xv()
+    assert not np.isnan(xa).any()
+
+
+def test_bath_couples_rigid_and_fluid():
+    """Scene 1 (yz_boxbath.h): a rigid box in a fluid dam — box stays
+    rigid, fluid stays in the walled bounds."""
+    pf.init()
+    # shrink via direct builder access for CI speed: 5x8x5 dam
+    build = scenes_extra._bath(np.zeros(1), 3,
+                               [((0.5, -0.0155, 0.1), 0.2)],
+                               (1.2, 0.0, 0.0), dam_dims=(5, 8, 5))
+    import dyn_res_pile_manip_tpu.env.scene as sl
+    orig = sl.SCENE_REGISTRY[1]
+    sl.SCENE_REGISTRY[1] = lambda p, s: build
+    try:
+        pf.set_scene(1, np.zeros(1))
+    finally:
+        sl.SCENE_REGISTRY[1] = orig
+    act = np.asarray(pf._rt.state.active)
+    grp = np.asarray(pf._rt.state.group)[act]
+    x0 = np.asarray(pf._rt.state.x)[act]
+    ext0 = np.ptp(x0[grp == 0], axis=0)
+    for _ in range(60):
+        pf.step()
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    ext = np.ptp(x[grp == 0], axis=0)
+    np.testing.assert_allclose(ext, ext0, rtol=0.15, atol=0.02)
+    # fluid contained by the numPlanes=5 walls
+    fl = grp == -1
+    assert x[fl, 0].min() > -0.1 and x[fl, 0].max() < 1.35
+    assert x[fl, 1].min() > 0.0
+
+
+def test_xpbd_rest_density_lattice():
+    rho = xpbd.rest_density_lattice(0.055, 0.1)
+    # a denser lattice has higher rest density
+    rho2 = xpbd.rest_density_lattice(0.05, 0.1)
+    assert rho2 > rho > 0
+    # self-term only when spacing >= h
+    rho3 = xpbd.rest_density_lattice(0.2, 0.1)
+    assert rho3 == pytest.approx(315.0 / (64.0 * np.pi * 0.1 ** 3),
+                                 rel=1e-6)
