@@ -622,12 +622,244 @@ def build_cloth_manip(scene_params, seed):
         control_idx=ctrl_pts, scene_kind="cloth_manip")
 
 
-def _not_ported(idx, name):
-    def build(scene_params, seed):
-        raise NotImplementedError(
-            f"scene {idx} ({name}) uses NvFlexExt soft-body clusters "
-            "(overlapping shape-match regions) not yet ported")
-    return build
+# ---------------------------------------------------------------------------
+# soft-body scenes (flexExt cluster assets -> sim.xpbd overlapping-cluster
+# shape matching; mesh assets replaced by analytic stand-in volumes)
+# ---------------------------------------------------------------------------
+
+def _soft_volume(kind, scale3, radius, rng):
+    """Particle-fill a normalized (unit-box) soft shape scaled by
+    scale * radius (mesh->Normalize() + Scale(scale*radius) semantics,
+    yz_softfall.h:206-210). The reference samples shipped .ply/.obj
+    meshes; we fill analytic volumes of matching proportions."""
+    s = np.asarray(scale3, np.float64) * radius
+    spacing = radius
+
+    def ellipsoid(c, r):
+        return lambda p: (((p - c) / r) ** 2).sum(axis=1) <= 1.0
+
+    if kind in ("box", "rod"):
+        inside = lambda p: np.ones(p.shape[0], bool)  # noqa: E731
+    elif kind == "bunny":
+        body = ellipsoid(np.array([0.5, 0.4, 0.45]),
+                         np.array([0.42, 0.4, 0.34]))
+        head = ellipsoid(np.array([0.5, 0.78, 0.72]),
+                         np.array([0.26, 0.22, 0.24]))
+        inside = lambda p: body(p) | head(p)  # noqa: E731
+    elif kind == "armadillo":
+        inside = ellipsoid(np.array([0.5, 0.5, 0.5]),
+                           np.array([0.38, 0.5, 0.3]))
+    elif kind == "octopus":
+        inside = ellipsoid(np.array([0.5, 0.4, 0.5]),
+                           np.array([0.5, 0.35, 0.5]))
+    elif kind == "dragon":
+        inside = ellipsoid(np.array([0.5, 0.35, 0.5]),
+                           np.array([0.5, 0.3, 0.26]))
+    else:
+        raise ValueError(kind)
+
+    d = np.maximum(1, (s / spacing).astype(int))
+    ii, jj, kk = np.meshgrid(*(np.arange(n) for n in d), indexing="ij")
+    unit = (np.stack([ii.ravel(), jj.ravel(), kk.ravel()], -1) + 0.5) \
+        / np.maximum(d, 1)
+    pts = unit * s
+    keep = inside(unit)
+    if not keep.any():
+        keep[:] = True
+    return pts[keep]
+
+
+def _soft_build(pts_list, radius, cluster_spacing, cluster_stiffness,
+                cluster_radius=0.0, global_stiffness=0.0,
+                plastic_threshold=0.0, plastic_creep=0.0,
+                dyn_frict=0.35, collision_distance=None,
+                control_idx=None, scene_kind="soft",
+                color=np.array([0.875, 0.782, 0.051])):
+    """Shared soft-instance assembly: cluster each instance independently
+    (instance id doubles as the collision-exclusion group), pin below-
+    ground particles (yz_softfall.h:258-261), radius expanded 1.5x for
+    inter-body self collision (yz_softfall.h:264-265)."""
+    from ..sim import xpbd as xpbd_mod
+
+    positions, group, ws, stiffs = [], [], [], []
+    n_total = sum(p.shape[0] for p in pts_list)
+    off = 0
+    for gi, pts in enumerate(pts_list):
+        positions.append(pts)
+        group.append(np.full(pts.shape[0], gi, np.int32))
+        w, st = xpbd_mod.build_clusters(
+            pts, cluster_spacing * radius,
+            cluster_radius * radius, cluster_stiffness)
+        wf = np.zeros((w.shape[0], n_total), np.float32)
+        wf[:, off:off + pts.shape[0]] = w
+        ws.append(wf)
+        stiffs.append(st)
+        if global_stiffness > 0:
+            gw = np.zeros((1, n_total), np.float32)
+            gw[0, off:off + pts.shape[0]] = 0.5
+            ws.append(gw)
+            stiffs.append(np.array([global_stiffness], np.float32))
+        off += pts.shape[0]
+    pos = np.concatenate(positions)
+    invm = np.ones(pos.shape[0], np.float32)
+    invm[pos[:, 1] < 0.0] = 0.0  # fix below-ground particles in place
+    params = _fluid_sim_params(
+        radius=radius * 1.5, dyn_frict=dyn_frict,
+        iterations=4,
+        collision_distance=(collision_distance
+                            if collision_distance is not None
+                            else radius * 0.75))
+    return SceneBuild(
+        positions=pos, invm=invm, group=np.concatenate(group),
+        num_groups=len(pts_list), params=params, color=color,
+        xparams=dict(
+            fluid_rest=0.0, solid_rest=radius * 1.5,
+            clusters=(np.concatenate(ws), np.concatenate(stiffs)),
+            plastic_threshold=plastic_threshold,
+            plastic_creep=plastic_creep),
+        control_idx=control_idx, scene_kind=scene_kind)
+
+
+def build_soft_body(scene_params, seed):
+    """Scene 5 (yz_SoftBody 'Plastic Stack', yz_softbody.h:183-280): one
+    soft box (scale (x, y, z) x radius, cluster spacing 10r) with plastic
+    threshold/creep; params
+    [x, y, z, clusterStiffness, plasticThreshold, plasticCreep]."""
+    p = np.asarray(scene_params, np.float64)
+    x, y, z, stiff, pthresh, pcreep = p[:6]
+    rng = np.random.default_rng(seed)
+    radius = 0.1
+    pts = _soft_volume("box", (x, y, z), radius, rng) \
+        + np.array([-x / 20.0, 0.0, -z / 20.0])
+    return _soft_build([pts], radius, cluster_spacing=10.0,
+                       cluster_stiffness=float(stiff),
+                       plastic_threshold=float(pthresh),
+                       plastic_creep=float(pcreep), dyn_frict=2.0)
+
+
+def build_soft_rod(scene_params, seed):
+    """Scene 11 (yz_softrod.h:135-200): a soft rod (box_very_high.ply ->
+    elongated box) with explicit cluster spacing/radius/stiffness; params
+    [scale(3), trans(3), clusterSpacing, clusterRadius, clusterStiffness,
+    draw_mesh]. Update() drags listed particle indices in x/z."""
+    p = np.asarray(scene_params, np.float64)
+    rng = np.random.default_rng(seed)
+    radius = 0.1
+    pts = _soft_volume("rod", p[0:3], radius, rng) + p[3:6]
+    return _soft_build([pts], radius, cluster_spacing=float(p[6]),
+                       cluster_radius=float(p[7]),
+                       cluster_stiffness=float(p[8]),
+                       scene_kind="soft_rod")
+
+
+def build_bunny_grip(scene_params, seed):
+    """Scene 14 (yz_bunnygrip.h:165-230): one soft bunny (cluster spacing
+    1r, stiffness 0.5, optional whole-body 'global' cluster) with plastic
+    flow; params [scale, globalStiffness, plasticThreshold, plasticCreep,
+    draw_mesh]. The gripper-box choreography is commented out in the
+    reference (yz_bunnygrip.h:95-124) and boxes can be added via
+    add_box/set_shape_states."""
+    p = np.asarray(scene_params, np.float64)
+    scale, gstiff, pthresh, pcreep = p[:4]
+    rng = np.random.default_rng(seed)
+    radius = 0.1
+    pts = _soft_volume("bunny", (scale, scale, scale), radius, rng) \
+        + np.array([-scale / 20.0, 0.0, -scale / 20.0])
+    return _soft_build([pts], radius, cluster_spacing=1.0,
+                       cluster_stiffness=0.5,
+                       global_stiffness=float(gstiff),
+                       plastic_threshold=float(pthresh),
+                       plastic_creep=float(pcreep))
+
+
+def build_soft_fall(scene_params, seed):
+    """Scene 16 (yz_softfall.h:108-197): one soft instance (type 0-3 ->
+    bunny/armadillo/octopus/dragon stand-ins) at cluster spacing 3r,
+    stiffness 0.2; params [type, scale, x, y, z, draw_mesh]."""
+    p = np.asarray(scene_params, np.float64)
+    kind = ("bunny", "armadillo", "octopus", "dragon")[int(p[0])]
+    scale = float(p[1])
+    rng = np.random.default_rng(seed)
+    radius = 0.1
+    pts = _soft_volume(kind, (scale, scale, scale), radius, rng) + p[2:5]
+    return _soft_build([pts], radius, cluster_spacing=3.0,
+                       cluster_stiffness=0.2)
+
+
+def build_cloth_rigid(scene_params, seed):
+    """Scene 12 (yz_clothrigid.h:12-150): rigid particle boxes dropped
+    onto a horizontal cloth sheet pinned at its 4 corners (tether springs
+    stiffness -0.5 give 0.05 from every corner); params
+    [dimx_cloth, dimy_cloth, height_cloth, p_cloth(3), dim_rigid(3),
+    num_rigid(3), num_banana, draw_points]."""
+    p = np.asarray(scene_params, np.float64)
+    dimx_c, dimy_c = int(p[0]), int(p[1])
+    height = float(p[2])
+    p_cloth = p[3:6]
+    sx, sy, sz = (int(v) for v in p[6:9])
+    nx, ny, nz = (int(v) for v in p[9:12])
+    num_banana = int(p[12])
+    rng = np.random.default_rng(seed)
+    radius = 0.15  # g_params.radius default (pyflex.cpp:669)
+
+    # rigid box grid above the cloth (yz_clothrigid.h:44-65)
+    positions, group_ids = [], []
+    g = 0
+    lower = np.array([0.0, height + radius, 0.0])
+    for x in range(nx):
+        for y in range(ny):
+            for z in range(nz):
+                at = (radius * 0.905) * np.array([x * sx, y * sy, z * sz]) \
+                    + (radius * 0.1) * np.array([x, y, z]) + lower
+                pts = _box_fill(
+                    at, radius * 0.9 * np.array([sx, sy, sz]),
+                    radius * 0.9, rng, jitter=0.001)
+                positions.append(pts)
+                group_ids.append(np.full(pts.shape[0], g, np.int32))
+                g += 1
+    for i in range(num_banana):
+        at = np.array([0.4, 8.5 + i * 0.25, 0.25]) \
+            + _unit_vectors(rng, 1)[0] * radius * 0.25
+        pts = _soft_volume("dragon", (2.0, 1.2, 1.2), radius * 0.5, rng) \
+            + at
+        positions.append(pts)
+        group_ids.append(np.full(pts.shape[0], g, np.int32))
+        g += 1
+
+    n_rigid = sum(pts.shape[0] for pts in positions)
+    cloth_pos, springs, tris = spring_grid(
+        p_cloth, dimx_c, dimy_c, radius, 0.9, 0.8, 0.7)
+    cloth_pos[:, 1] = height  # yz_clothrigid.h:95-99 (rotation 0)
+    springs[:, :2] += n_rigid
+    tris += n_rigid
+    corners = [n_rigid + 0, n_rigid + dimx_c - 1,
+               n_rigid + dimx_c * (dimy_c - 1),
+               n_rigid + dimx_c * dimy_c - 1]
+    tethers = []
+    for i in range(cloth_pos.shape[0]):
+        gi = n_rigid + i
+        if gi in corners:
+            continue
+        for c in corners:
+            tethers.append((c, gi, 1.05 * np.linalg.norm(
+                cloth_pos[c - n_rigid] - cloth_pos[gi - n_rigid]), -0.5))
+    springs = np.concatenate([springs, np.array(tethers, np.float64)])
+
+    pos = np.concatenate(positions + [cloth_pos])
+    invm = np.ones(pos.shape[0], np.float32)
+    for c in corners:
+        invm[c] = 0.0
+    grp = np.concatenate(group_ids + [np.full(cloth_pos.shape[0], -1,
+                                              np.int32)])
+    params = _fluid_sim_params(
+        radius=radius, dyn_frict=0.75, static_frict=0.7,
+        iterations=4, collision_distance=radius * 0.5, damping=0.25)
+    return SceneBuild(
+        positions=pos, invm=invm, group=grp, num_groups=g,
+        params=params, color=np.array([0.6, 0.45, 0.3]),
+        springs=springs, triangles=tris,
+        xparams=dict(fluid_rest=0.0, solid_rest=radius),
+        control_idx=corners, scene_kind="cloth_rigid")
 
 
 EXTRA_SCENES = {
@@ -636,18 +868,18 @@ EXTRA_SCENES = {
     2: build_dam_break,
     3: build_rigid_fall,
     4: build_rice_fall,
-    5: _not_ported(5, "SoftBody/PlasticStack"),
+    5: build_soft_body,
     6: build_fluid_shake,
     7: build_box_bath_ext,
     8: build_fluid_ice_shake,
     9: build_mass_rope,
     10: build_flag_cloth,
-    11: _not_ported(11, "SoftRod"),
-    12: _not_ported(12, "ClothRigid"),
+    11: build_soft_rod,
+    12: build_cloth_rigid,
     13: build_granular_13,
-    14: _not_ported(14, "BunnyGrip"),
+    14: build_bunny_grip,
     15: build_cloth_manip,
-    16: _not_ported(16, "SoftFall"),
+    16: build_soft_fall,
     17: build_fluid_pour,
     19: build_fluid_and_box,
 }

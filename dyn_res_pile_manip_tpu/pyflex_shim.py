@@ -112,7 +112,8 @@ def set_scene(idx, scene_params, thread_idx=0):
         cap = state.capacity
         _rt.xc = xpbd.XConstraints.build(
             cap, springs=build.springs, fluid_mask=build.fluid_mask,
-            triangles=build.triangles, **build.xparams)
+            triangles=build.triangles,
+            **build.xparams).attach_cluster_rest(state.x)
         _rt.w_tiles = xpbd.default_w_tiles(cap)
     else:
         _rt.xc = None
@@ -184,6 +185,13 @@ def _apply_update_params(update_params):
         moves = [(ctrl[0], u[0:3])]
     elif kind == "flag" and len(ctrl) >= 2:
         moves = [(ctrl[0], u[0:3]), (ctrl[1], u[3:6])]
+    elif kind == "cloth_rigid":
+        # all 4 pinned corners move together (yz_clothrigid.h:150-190)
+        moves = [(c, u[0:3]) for c in ctrl]
+    elif kind == "soft_rod":
+        # [dx, dz, idx...]: drag listed particles (yz_softrod.h:395-413)
+        d = np.array([u[0], 0.0, u[1]])
+        moves = [(int(i), d) for i in u[2:]]
     elif kind == "cloth_manip":
         c = ctrl[int(u[0])]
         invm = np.asarray(_rt.state.invm).copy()
@@ -207,7 +215,7 @@ def step(update_params=None, *_args, **_kw):
     if _rt.xc is not None:
         if update_params is not None:
             _apply_update_params(update_params)
-        _rt.state = xpbd.step_frame_xpbd(
+        _rt.state, _rt.xc = xpbd.step_frame_xpbd(
             _rt.state, _rt.xc, _rt.sim_params, _rt.colliders,
             w_tiles=_rt.w_tiles)
         return

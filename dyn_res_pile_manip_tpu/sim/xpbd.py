@@ -70,22 +70,45 @@ class XConstraints(struct.PyTreeNode):
     viscosity: jnp.ndarray    # FleX viscosity -> XSPH blend
     wind: jnp.ndarray         # (3,) g_params.wind
     drag: jnp.ndarray         # FleX drag -> per-particle aero coefficient
-    # static: does the scene have any fluid / springs at all (compile-time
-    # branch pruning)
+    # soft-body clusters: overlapping weighted shape-match regions — the
+    # TPU-native equivalent of NvFlexExtCreateSoftFromMesh assets
+    # (flexExt cluster creation; driven by yz_softbody.h / yz_softfall.h /
+    # yz_softrod.h / yz_bunnygrip.h). cl_rest evolves under plastic creep.
+    cl_w: jnp.ndarray = struct.field(         # (G, N) skinning weights
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
+    cl_rest: jnp.ndarray = struct.field(      # (G, N, 3) cluster-local rest
+        default_factory=lambda: jnp.zeros((0, 0, 3), jnp.float32))
+    cl_quat: jnp.ndarray = struct.field(      # (G, 4) warm-start rotations
+        default_factory=lambda: jnp.zeros((0, 4), jnp.float32))
+    cl_stiff: jnp.ndarray = struct.field(     # (G,)
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    soft: jnp.ndarray = struct.field(         # (N,) cluster-governed mask
+        default_factory=lambda: jnp.zeros((0,), bool))
+    plastic_threshold: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0))
+    plastic_creep: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0))
+    # static: does the scene have any fluid / springs / clusters at all
+    # (compile-time branch pruning)
     has_fluid: bool = struct.field(pytree_node=False, default=False)
     has_springs: bool = struct.field(pytree_node=False, default=False)
+    has_clusters: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def build(cls, n_capacity: int, springs=None, fluid_mask=None,
               cloth_mask=None, triangles=None, fluid_rest=0.0,
               solid_rest=0.075, kernel_h=None, cohesion=0.0, viscosity=0.0,
-              wind=(0.0, 0.0, 0.0), drag=0.0,
+              wind=(0.0, 0.0, 0.0), drag=0.0, clusters=None,
+              plastic_threshold=0.0, plastic_creep=0.0,
               spring_multiple: int = 256) -> "XConstraints":
         """Host-side assembly with capacity padding.
 
         springs: (S, 4) float array rows [i, j, rest, stiffness] or None.
         kernel_h: SPH kernel radius (defaults to the scene's params.radius,
         FleX's fluid interaction radius) — needed for the rest density.
+        clusters: (w (G, n), stiff (G,)) soft-body skinning weights from
+        build_clusters(); rest coords are derived from the build positions
+        at first use (set by attach_cluster_rest).
         """
         if springs is None or len(springs) == 0:
             springs = np.zeros((0, 4), np.float64)
@@ -123,7 +146,31 @@ class XConstraints(struct.PyTreeNode):
         elif t:
             cl[np.unique(triangles)] = True
 
+        if clusters is not None:
+            cw_in, cstiff_in = clusters
+            g = cw_in.shape[0]
+            g_cap = max(8, int(np.ceil(g / 8) * 8))
+            cw = np.zeros((g_cap, n_capacity), np.float32)
+            cw[:g, :cw_in.shape[1]] = cw_in
+            cstiff = np.zeros((g_cap,), np.float32)
+            cstiff[:g] = cstiff_in
+            cquat = np.zeros((g_cap, 4), np.float32)
+            cquat[:, 0] = 1.0
+            soft = cw.sum(axis=0) > 0
+            cl_kw = dict(
+                cl_w=jnp.asarray(cw),
+                cl_rest=jnp.zeros((g_cap, n_capacity, 3), jnp.float32),
+                cl_quat=jnp.asarray(cquat),
+                cl_stiff=jnp.asarray(cstiff),
+                soft=jnp.asarray(soft),
+                has_clusters=True)
+        else:
+            cl_kw = dict(soft=jnp.zeros((n_capacity,), bool))
+
         return cls(
+            plastic_threshold=jnp.float32(plastic_threshold),
+            plastic_creep=jnp.float32(plastic_creep),
+            **cl_kw,
             sp_idx=jnp.asarray(sp_idx), sp_rest=jnp.asarray(sp_rest),
             sp_stiff=jnp.asarray(sp_stiff), sp_active=jnp.asarray(sp_active),
             fluid=jnp.asarray(fl), cloth=jnp.asarray(cl),
@@ -141,6 +188,91 @@ class XConstraints(struct.PyTreeNode):
             has_fluid=bool(fluid_rest > 0),
             has_springs=bool(s > 0),
         )
+
+
+    def attach_cluster_rest(self, x0) -> "XConstraints":
+        """Fill cl_rest from build positions: rest_gi = x0_i - com0_g with
+        the cluster's weighted rest COM (flexExt soft-asset rest poses)."""
+        if not self.has_clusters:
+            return self
+        x0 = jnp.asarray(x0, jnp.float32)
+        w = self.cl_w
+        wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+        com0 = (w @ x0) / wsum[:, None]
+        rest = jnp.where((w > 0)[..., None],
+                         x0[None, :, :] - com0[:, None, :], 0.0)
+        return self.replace(cl_rest=rest)
+
+
+def build_clusters(pts, spacing, radius, stiffness):
+    """Host-side soft-body cluster creation (the particle-clustering part
+    of NvFlexExtCreateSoftFromMesh): greedy center sampling at
+    ``spacing``, linear-falloff skinning weights within ``radius``
+    (0 = auto 2x spacing, guaranteeing overlap in place of flexExt's
+    explicit cluster links). Every particle is attached to at least its
+    nearest center. Returns (w (G, n), stiff (G,))."""
+    pts = np.asarray(pts)
+    n = pts.shape[0]
+    centers = []
+    taken = np.zeros(n, bool)
+    for i in range(n):
+        if not taken[i]:
+            centers.append(pts[i])
+            taken |= np.linalg.norm(pts - pts[i], axis=1) < spacing
+    centers = np.array(centers)
+    r_eff = radius if radius > 0 else 2.0 * spacing
+    d = np.linalg.norm(pts[None, :, :] - centers[:, None, :], axis=-1)
+    w = np.maximum(0.0, 1.0 - d / r_eff).astype(np.float32)
+    orphan = w.sum(axis=0) <= 0
+    if orphan.any():
+        nearest = np.argmin(d[:, orphan], axis=0)
+        w[nearest, np.where(orphan)[0]] = 0.5
+    stiff = np.full(centers.shape[0], stiffness, np.float32)
+    return w, stiff
+
+
+def solve_clusters(xp, xc: XConstraints):
+    """One weighted overlapping-cluster shape-matching projection, all in
+    matmuls/einsums (generalizes pbd.shape_match's disjoint rigid groups
+    to flexExt-style soft bodies: a particle's goal is the skinning-
+    weighted average of its clusters' rigid goals)."""
+    hi = jax.lax.Precision.HIGHEST
+    w = xc.cl_w                                   # (G, N)
+    rest = xc.cl_rest                             # (G, N, 3)
+    wsum_g = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+    com = jnp.matmul(w, xp, precision=hi) / wsum_g[:, None]      # (G, 3)
+    srest = jnp.einsum("gn,gnj->gj", w, rest, precision=hi)
+    term1 = jnp.einsum("gn,ni,gnj->gij", w, xp, rest, precision=hi)
+    A = term1 - com[:, :, None] * srest[:, None, :]
+    q = pbd.extract_rotation(A, xc.cl_quat)
+    R = pbd._quat_to_mat(q)                       # (G, 3, 3)
+    goal_c = jnp.einsum("gn,gij,gnj->ni", w, R, rest, precision=hi)
+    com_pp = jnp.matmul(w.T, com, precision=hi)   # (N, 3) weighted coms
+    wsum_i = jnp.maximum(jnp.sum(w, axis=0), 1e-9)
+    goal = (com_pp + goal_c) / wsum_i[:, None]
+    k_i = jnp.matmul(w.T, xc.cl_stiff, precision=hi) / wsum_i
+    delta = jnp.where(xc.soft[:, None], (k_i[:, None]) * (goal - xp), 0.0)
+    return xp + delta, q
+
+
+def plastic_flow(xp, xc: XConstraints, q):
+    """Cluster plastic deformation (NvFlexExt clusterPlasticThreshold /
+    clusterPlasticCreep): when a cluster's mean elastic deviation exceeds
+    the threshold, its rest coordinates creep toward the current
+    cluster-local configuration."""
+    hi = jax.lax.Precision.HIGHEST
+    w = xc.cl_w
+    rest = xc.cl_rest
+    wsum_g = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+    com = jnp.matmul(w, xp, precision=hi) / wsum_g[:, None]
+    R = pbd._quat_to_mat(q)
+    local = jnp.einsum("gji,gnj->gni", R,
+                       xp[None, :, :] - com[:, None, :], precision=hi)
+    err = jnp.where((w > 0)[..., None], local - rest, 0.0)
+    dev = (jnp.einsum("gn,gn->g", w, jnp.linalg.norm(err, axis=-1))
+           / wsum_g)
+    flow = (dev > xc.plastic_threshold)[:, None, None]
+    return jnp.where(flow, rest + xc.plastic_creep * err, rest)
 
 
 # ---------------------------------------------------------------------------
@@ -371,11 +503,16 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
     pair_ok = _pair_mask(active, state.group, w_tiles)
     wi_s = jnp.where(active, state.invm, 0.0)
     onehot = pbd.group_onehot(state)
+    if xc_s.has_clusters:
+        # soft particles are collision-grouped by instance id but shape-
+        # matched by their overlapping clusters, not the rigid path
+        onehot = onehot * (~xc_s.soft).astype(jnp.float32)[None, :]
     inv_counts = 1.0 / jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
     group_keep = jnp.ones(onehot.shape[0], bool)
 
     def substep(carry, _):
-        x, v, quat = carry
+        x, v, quat, cl_quat, cl_rest = carry
+        xcc = xc_s.replace(cl_quat=cl_quat, cl_rest=cl_rest)
         v = v + sdt * gravity * params.gravity_y
         v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
         # aero on cloth particles: blend toward the wind velocity
@@ -390,7 +527,7 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
         xp = x0 + sdt * v
 
         def iteration(carry, _):
-            xp, quat = carry
+            xp, quat, cq = carry
             if xc_s.has_springs:
                 xp = solve_springs(xp, jnp.where(free, state.invm, 0.0),
                                    xc_s.sp_idx, xc_s.sp_rest,
@@ -408,10 +545,16 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
                                        inv_counts, solve_mask=active,
                                        group_keep=group_keep)
             xp = jnp.where(free[:, None], xp, x0)
-            return (xp, quat), None
+            if xc_s.has_clusters:
+                xp, cq = solve_clusters(xp, xcc.replace(cl_quat=cq))
+                xp = jnp.where(free[:, None], xp, x0)
+            return (xp, quat, cq), None
 
-        (xp, quat), _ = jax.lax.scan(iteration, (xp, quat), None,
-                                     length=params.num_iterations)
+        (xp, quat, cl_quat), _ = jax.lax.scan(
+            iteration, (xp, quat, cl_quat), None,
+            length=params.num_iterations)
+        if xc_s.has_clusters:
+            cl_rest = plastic_flow(xp, xcc, cl_quat)
         v_new = (xp - x0) / sdt
         v_new = jnp.where(free[:, None], v_new, 0.0)
         if xc_s.has_fluid:
@@ -419,12 +562,14 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
                                params, w_tiles)
             v_new = jnp.where(free[:, None], v_new, 0.0)
         xp = jnp.where(free[:, None], xp, x0)
-        return (xp, v_new, quat), None
+        return (xp, v_new, quat, cl_quat, cl_rest), None
 
-    (x, v, quat), _ = jax.lax.scan(
-        substep, (state.x, state.v, state.group_quat), None,
-        length=params.num_substeps, unroll=params.num_substeps)
-    return state.replace(x=x, v=v, group_quat=quat)
+    (x, v, quat, cl_quat, cl_rest), _ = jax.lax.scan(
+        substep,
+        (state.x, state.v, state.group_quat, xc_s.cl_quat, xc_s.cl_rest),
+        None, length=params.num_substeps, unroll=params.num_substeps)
+    return (state.replace(x=x, v=v, group_quat=quat),
+            xc_s.replace(cl_quat=cl_quat, cl_rest=cl_rest))
 
 
 def default_w_tiles(n_capacity: int, cap: int = 15) -> int:
@@ -437,12 +582,13 @@ def default_w_tiles(n_capacity: int, cap: int = 15) -> int:
 
 
 def step_frame_xpbd(state: SimState, xc: XConstraints, params: SimParams,
-                    colliders: Colliders, w_tiles: int | None = None
-                    ) -> SimState:
-    """Advance one display frame. The state may be in any order: it is
-    sorted along its principal axis, the constraint id spaces are remapped
-    into sorted order, the frame runs, and original order is restored
-    (these scenes re-sort every frame — no sleeping, no cache reuse)."""
+                    colliders: Colliders, w_tiles: int | None = None):
+    """Advance one display frame; returns (state, xc) — xc carries the
+    evolving soft-cluster rotations/rest shapes (plastic flow). The state
+    may be in any order: it is sorted along its principal axis, the
+    constraint id spaces are remapped into sorted order, the frame runs,
+    and original order is restored (these scenes re-sort every frame — no
+    sleeping, no cache reuse)."""
     if w_tiles is None:
         w_tiles = default_w_tiles(state.x.shape[0])
     n = state.x.shape[0]
@@ -456,7 +602,14 @@ def step_frame_xpbd(state: SimState, xc: XConstraints, params: SimParams,
         sp_idx=inv[xc.sp_idx],
         fluid=xc.fluid[perm],
         cloth=xc.cloth[perm],
+        soft=xc.soft[perm] if xc.soft.shape[0] == n else xc.soft,
     )
-    state_s = _step_sorted_xpbd(state_s, xc_s, params, colliders,
-                                w_tiles=w_tiles)
-    return pbd.unsort_state(state_s)
+    if xc.has_clusters:
+        xc_s = xc_s.replace(cl_w=xc.cl_w[:, perm],
+                            cl_rest=xc.cl_rest[:, perm])
+    state_s, xc_s = _step_sorted_xpbd(state_s, xc_s, params, colliders,
+                                      w_tiles=w_tiles)
+    xc_out = xc.replace(cl_quat=xc_s.cl_quat)
+    if xc.has_clusters:
+        xc_out = xc_out.replace(cl_rest=xc_s.cl_rest[:, inv])
+    return pbd.unsort_state(state_s), xc_out

@@ -24,14 +24,9 @@ def _active_xv():
 
 
 def test_registry_indices():
-    """All 24 reference registry slots resolve; soft-body slots raise
-    with a porting note (not silently missing)."""
-    for idx in [0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 13, 15, 17, 19,
-                18, 20, 21, 22, 23]:
+    """All 24 reference registry slots (pyflex.cpp:2458-2502) resolve."""
+    for idx in range(24):
         assert idx in scene_lib.SCENE_REGISTRY
-    for idx in [5, 11, 12, 14, 16]:
-        with pytest.raises(NotImplementedError):
-            scene_lib.SCENE_REGISTRY[idx](np.zeros(30), 0)
 
 
 def test_spring_grid_topology():
@@ -252,6 +247,88 @@ def test_bath_couples_rigid_and_fluid():
     fl = grp == -1
     assert x[fl, 0].min() > -0.1 and x[fl, 0].max() < 1.35
     assert x[fl, 1].min() > 0.0
+
+
+def test_soft_fall_deforms_and_survives():
+    """Scene 16 (yz_softfall.h): a soft bunny dropped from 0.5 lands,
+    deforms (height loss), does not explode, and stays connected."""
+    pf.init()
+    pf.set_scene(16, np.array([0, 8.0, 0.0, 0.5, 0.0, 0.0]))
+    x0, _ = _active_xv()
+    h0 = np.ptp(x0[:, 1])
+    for _ in range(80):
+        pf.step()
+    x, v = _active_xv()
+    assert not np.isnan(x).any()
+    assert x[:, 1].min() < 0.12           # landed
+    h1 = np.ptp(x[:, 1])
+    assert 0.3 * h0 < h1 < 1.1 * h0       # deformed but not flattened
+    # connected: max pairwise spread bounded by ~2x original
+    assert np.ptp(x[:, 0]) < 2.5 * np.ptp(x0[:, 0])
+    assert np.abs(v).max() < 3.0
+
+
+def test_plastic_box_keeps_deformation():
+    """Scene 5 (yz_softbody.h 'Plastic Stack'): with plastic creep the
+    dropped box rests permanently shorter than built; with creep 0 the
+    elastic box recovers closer to its rest height."""
+    pf.init()
+
+    def run(creep):
+        pf.set_scene(5, np.array([4.0, 4.0, 4.0, 0.6, 2e-5, creep]))
+        x0, _ = _active_xv()
+        # drop from 0.6 so the landing actually deforms the body
+        pos = pf.get_positions().reshape(-1, 4)
+        pos[:, 1] += 1.0
+        pf.set_positions(pos.reshape(-1))
+        for _ in range(90):
+            pf.step()
+        x, v = _active_xv()
+        assert not np.isnan(x).any()
+        return np.ptp(x0[:, 1]), np.ptp(x[:, 1]), np.abs(v).max()
+
+    h0, h_plastic, vmax = run(0.4)
+    assert vmax < 1.5                     # came to (near) rest
+    assert h_plastic < h0                 # did not grow
+    _, h_elastic, _ = run(0.0)
+    # plastic creep keeps strictly more of the impact squash than the
+    # purely elastic run of the same drop
+    assert h_plastic < h_elastic - 0.003
+
+
+def test_soft_rod_drag():
+    """Scene 11 (yz_softrod.h): Update() drags listed particle indices;
+    the rod tip follows elastically."""
+    pf.init()
+    pf.set_scene(11, np.array([3.0, 12.0, 3.0, 0, 0, 0, 2.0, 0.0, 0.5, 0]))
+    x = np.asarray(pf._rt.state.x)
+    act = np.asarray(pf._rt.state.active)
+    top = np.where(act & (x[:, 1] > x[act][:, 1].max() - 0.05))[0][:4]
+    xmax0 = x[act][:, 0].max()
+    for _ in range(40):
+        pf.step(update_params=np.concatenate([[0.005, 0.0], top]))
+    x, _ = _active_xv()
+    assert not np.isnan(x).any()
+    assert x[:, 0].max() > xmax0 + 0.1
+
+
+def test_cloth_rigid_box_rests_on_cloth():
+    """Scene 12 (yz_clothrigid.h): a rigid box dropped onto a corner-
+    pinned horizontal cloth sheet sags the cloth and rests on it."""
+    pf.init()
+    pf.set_scene(12, np.array([12, 12, 1.0, 0.0, 0.0, 0.0,
+                               3, 3, 3, 1, 1, 1, 0, 1]))
+    act = np.asarray(pf._rt.state.active)
+    grp = np.asarray(pf._rt.state.group)[act]
+    for _ in range(50):
+        pf.step(update_params=np.zeros(3))
+    x, _ = _active_xv()
+    assert not np.isnan(x).any()
+    box, cloth = x[grp == 0], x[grp == -1]
+    # the box rests above the sagged cloth, well below its drop height
+    assert 0.3 < box[:, 1].min() < 0.95
+    assert cloth[:, 1].min() < 0.95      # cloth sags under the box
+    assert box[:, 1].min() > cloth[:, 1].min() - 0.05
 
 
 def test_xpbd_rest_density_lattice():
