@@ -335,12 +335,25 @@ def render(render_depth: bool = True, *_args):
 
     cam = _camera()
     fx, fy, cx, cy = cam.cam_params()
+    draw_r = float(_rt.sim_params.radius) * 0.5
+    expand = None
+    if _rt.xc is not None:
+        # close-up small-scale scenes: widen the splat footprint to the
+        # projected pixel radius at the median particle depth (quantized
+        # to bound recompiles)
+        T = np.asarray(cam.opencv_from_world())
+        act = np.asarray(_rt.state.active)
+        xs = np.asarray(_rt.state.x)[act]
+        z = (xs @ T[:3, :3].T + T[:3, 3])[:, 2]
+        z_med = float(np.median(z[z > 0.05])) if (z > 0.05).any() else 1.0
+        px_r = draw_r * fx / max(z_med, 1e-3)
+        expand = int(np.clip(2 * round(np.ceil(px_r) / 2), 2, 6))
     obs = raster.render_rgbd(
         _rt.state.x, _rt.state.active, _rt.colliders,
         jnp.asarray(cam.opencv_from_world(), jnp.float32), fx, fy, cx, cy,
         jnp.asarray(_rt.build.color, jnp.float32),
-        jnp.float32(float(_rt.sim_params.radius) * 0.5),
-        width=cam.width, height=cam.height)
+        jnp.float32(draw_r),
+        width=cam.width, height=cam.height, expand=expand)
     obs = np.asarray(obs)
     if not render_depth:
         obs = obs[..., :4]

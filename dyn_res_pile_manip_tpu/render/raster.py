@@ -41,12 +41,14 @@ def _yaw_rot(yaw):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("width", "height", "skin", "shadows"))
+                   static_argnames=("width", "height", "skin", "shadows",
+                                    "expand"))
 def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
                 cv_from_world: jnp.ndarray, fx, fy, cx, cy,
                 particle_color: jnp.ndarray, draw_radius,
                 width: int = 720, height: int = 720,
-                skin: bool = False, shadows: bool = False) -> jnp.ndarray:
+                skin: bool = False, shadows: bool = False,
+                expand: int | None = None) -> jnp.ndarray:
     """Rasterize particles + analytic colliders to an RGBD observation.
 
     cv_from_world: 4x4 matrix to OpenCV camera coords (x right, y down,
@@ -194,7 +196,12 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     pbulge = jnp.zeros((H, W))
     pnx = jnp.zeros((H, W))
     pny = jnp.zeros((H, W))
-    half = SPLAT // 2 + (1 if skin else 0)
+    # footprint half-width in pixels. The granular workload's top-down
+    # camera projects grains to ~3-5 px (SPLAT=5 is exact); close-up
+    # small-scale scenes (the yz_* families) need wider footprints —
+    # callers pass ``expand`` from the projected pixel radius.
+    half = (int(expand) if expand is not None
+            else SPLAT // 2 + (1 if skin else 0))
     for di in range(-half, half + 1):
         for dj in range(-half, half + 1):
             # candidate centers at pixel (i-di, j-dj) contribute to (i, j)
