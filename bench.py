@@ -213,10 +213,39 @@ def bench_sim_push():
     return rates[0], rates[1]
 
 
+def bench_fluid():
+    """PBF dam break (scene 2: 3456 fluid particles, 2 substeps x 4
+    density/contact iterations/frame) through the fused multi-frame XPBD
+    runner — throughput of the round-3 scene families."""
+    import jax
+
+    from dyn_res_pile_manip_tpu.env import scene as scene_lib
+    from dyn_res_pile_manip_tpu.env import scenes_extra  # noqa: F401
+    from dyn_res_pile_manip_tpu.core.types import Colliders
+    from dyn_res_pile_manip_tpu.sim import xpbd
+    import jax.numpy as jnp
+
+    state, sp, build = scene_lib.set_scene(2, np.zeros(1), seed=0)
+    n = int(np.asarray(state.active).sum())
+    col = Colliders.ground_only()
+    col = col.replace(planes=jnp.asarray(build.extra_planes, jnp.float32))
+    xc = xpbd.XConstraints.build(
+        state.capacity, fluid_mask=build.fluid_mask, **build.xparams)
+    frames = 60
+    st, xcc = xpbd.run_frames(state, xc, sp, col, frames)
+    st, xcc = xpbd.run_frames(st, xcc, sp, col, frames)
+    jax.block_until_ready(st.x)
+    t0 = time.perf_counter()
+    st, xcc = xpbd.run_frames(st, xcc, sp, col, frames)
+    jax.block_until_ready(st.x)
+    return n * frames / (time.perf_counter() - t0)
+
+
 def main():
     mpc = bench_mpc()
     sim = bench_sim_render()
     sim_push, sim_tail = bench_sim_push()
+    fluid = bench_fluid()
     print(json.dumps({
         "metric": "gnn_mpc_rollouts_per_sec_64x30_n100",
         "value": round(float(mpc), 1),
@@ -235,6 +264,7 @@ def main():
                 float(sim_push) / REF_SIM_PARTICLE_STEPS_PER_SEC, 4),
             "fused_sim_render_settle_tail_19k_particle_steps_per_sec":
                 round(float(sim_tail), 1),
+            "pbf_dam_break_particle_steps_per_sec": round(float(fluid), 1),
             "ref_mpc_rollouts_per_sec_fitted": round(
                 REF_MPC_ROLLOUTS_PER_SEC, 1),
         },

@@ -613,3 +613,24 @@ def step_frame_xpbd(state: SimState, xc: XConstraints, params: SimParams,
     if xc.has_clusters:
         xc_out = xc_out.replace(cl_rest=xc_s.cl_rest[:, inv])
     return pbd.unsort_state(state_s), xc_out
+
+
+@functools.partial(jax.jit, static_argnames=("n_frames", "w_tiles"))
+def run_frames(state: SimState, xc: XConstraints, params: SimParams,
+               colliders: Colliders, n_frames: int,
+               w_tiles: int | None = None):
+    """``n_frames`` display frames fused into ONE XLA program (lax.scan
+    over step_frame_xpbd, re-sorting inside the scan) — the measurement
+    and batch-rollout entry point: per-frame host dispatch would dominate
+    on small scenes through the remote-chip tunnel."""
+    if w_tiles is None:
+        w_tiles = default_w_tiles(state.x.shape[0])
+
+    def body(carry, _):
+        st, xcc = carry
+        st, xcc = step_frame_xpbd(st, xcc, params, colliders,
+                                  w_tiles=w_tiles)
+        return (st, xcc), None
+
+    (state, xc), _ = jax.lax.scan(body, (state, xc), None, length=n_frames)
+    return state, xc

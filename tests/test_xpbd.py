@@ -331,6 +331,27 @@ def test_cloth_rigid_box_rests_on_cloth():
     assert box[:, 1].min() > cloth[:, 1].min() - 0.05
 
 
+def test_run_frames_matches_stepwise():
+    """The fused multi-frame runner is bit-equivalent to sequential
+    step_frame_xpbd calls (same sort, same constraint remaps)."""
+    import jax.numpy as jnp
+    from dyn_res_pile_manip_tpu.core.types import Colliders
+    from dyn_res_pile_manip_tpu.env import scene as scene_lib
+
+    state, sp, build = scene_lib.set_scene(
+        6, np.array([0.06, 0.2, 0.06, 4, 5, 4, 0, 0, 0]), seed=7,
+        capacity_multiple=128)
+    col = Colliders.ground_only()
+    xc = xpbd.XConstraints.build(
+        state.capacity, fluid_mask=build.fluid_mask, **build.xparams)
+    st_a, xc_a = state, xc
+    for _ in range(4):
+        st_a, xc_a = xpbd.step_frame_xpbd(st_a, xc_a, sp, col, w_tiles=7)
+    st_b, _ = xpbd.run_frames(state, xc, sp, col, 4, w_tiles=7)
+    np.testing.assert_allclose(np.asarray(st_a.x), np.asarray(st_b.x),
+                               atol=1e-6)
+
+
 def test_xpbd_rest_density_lattice():
     rho = xpbd.rest_density_lattice(0.055, 0.1)
     # a denser lattice has higher rest density
