@@ -22,24 +22,54 @@ import jax
 import jax.numpy as jnp
 
 
+class _DenseParams(nn.Module):
+    """Owns a Dense-shaped (kernel, bias) under this module's name without
+    applying it — the caller splits the kernel to restructure a
+    Dense-over-concat into hoisted partial matmuls while keeping the
+    checkpoint param tree identical to nn.Dense."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class MLP(nn.Module):
     features: tuple
     relu_last: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f)(x)
+            x = nn.Dense(f, dtype=self.dtype)(x)
             if i < len(self.features) - 1 or self.relu_last:
                 x = nn.relu(x)
         return x
 
 
 class PropNetDiffDen(nn.Module):
-    """nf_effect=64, pstep=3 message passing (gnn_dyn.py:113-198)."""
+    """nf_effect=64, pstep=3 message passing (gnn_dyn.py:113-198).
+
+    compute_dtype=bfloat16 runs the whole message-passing stack (one-hot
+    relation matmuls AND the MLP activations — both bandwidth-bound at
+    planner batch sizes) in bf16, which roughly halves iteration time.
+    Position SELECTION stays exact through a hi/lo split: a one-hot row
+    has a single nonzero, so R@s_hi + R@s_lo reconstructs the f32 sender
+    position to ~2^-16 relative error before the offset subtraction (the
+    quantity that must not lose precision — CLAUDE.md notes this backend
+    demotes f32 matmuls by default). Training uses float32 (oracle-parity
+    tested); the planner opts into bf16.
+    """
 
     nf_effect: int = 64
     pstep: int = 3
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, a_cur, s_cur, s_delta, nbr_idx, nbr_ok, particle_den,
@@ -49,66 +79,101 @@ class PropNetDiffDen(nn.Module):
         nbr_idx: (B, N, K) int sender index per receiver;
         nbr_ok: (B, N, K) edge validity; particle_den: (B,);
         particle_mask: (B, N) validity of (padded) particles.
-        Returns predicted next positions (B, N, 3).
+        Returns predicted next positions (B, N, 3), float32.
         """
         nf = self.nf_effect
+        cdt = self.compute_dtype
+        exact_hi = cdt == jnp.float32
         B, N, K = nbr_idx.shape
-        den = (particle_den / 5000.0)[:, None, None]
+        den = (particle_den.astype(cdt) / 5000.0)[:, None, None]
 
         if particle_mask is None:
-            particle_mask = jnp.ones((B, N), dtype=s_cur.dtype)
+            particle_mask = jnp.ones((B, N), dtype=cdt)
+        particle_mask = particle_mask.astype(cdt)
 
         # Sender-feature selection as a one-hot batched matmul: TPU gathers
         # are serial and slow, MXU matmuls are not. R plays the role of the
         # reference's Rs relation matrix (gnn_dyn.py:248-251) with fixed
-        # (B, N*K, N) shape.
-        R = jax.nn.one_hot(nbr_idx.reshape(B, N * K), N, dtype=s_cur.dtype)
+        # (B, N*K, N) shape; ONE materialization reused by every gather
+        # (it dominates traffic at planner batch sizes).
+        R = jax.nn.one_hot(nbr_idx.reshape(B, N * K), N, dtype=cdt)
 
-        def gather_nbr(x, exact=False):
-            # x: (B, N, F) -> (B, N, K, F) sender features. ``exact`` uses
-            # full f32 MXU precision (positions feed relative offsets and
-            # must be selected exactly); feature matmuls keep the fast path.
-            out = jnp.einsum(
-                "bmn,bnf->bmf", R, x,
-                preferred_element_type=jnp.float32,
-                precision=(jax.lax.Precision.HIGHEST if exact
-                           else jax.lax.Precision.DEFAULT))
+        def gather_nbr(x):
+            # x: (B, N, F) -> (B, N, K, F) sender features (compute dtype)
+            out = jnp.einsum("bmn,bnf->bmf", R, x.astype(cdt),
+                             precision=jax.lax.Precision.DEFAULT)
             return out.reshape(B, N, K, -1)
 
-        edge_w = (nbr_ok.astype(s_cur.dtype)
+        def gather_exact(x):
+            # f32 (B, N, F) -> f32 (B, N, K, F), exact to ~2^-16 relative:
+            # one-hot rows have one nonzero, so each einsum selects a bf16
+            # value exactly; hi+lo reassembles the f32 input.
+            if exact_hi:
+                out = jnp.einsum("bmn,bnf->bmf", R, x,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                return out.reshape(B, N, K, -1)
+            hi = x.astype(cdt)
+            lo = (x - hi.astype(jnp.float32)).astype(cdt)
+            out = (jnp.einsum("bmn,bnf->bmf", R, hi,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("bmn,bnf->bmf", R, lo,
+                                preferred_element_type=jnp.float32))
+            return out.reshape(B, N, K, -1)
+
+        edge_w = (nbr_ok.astype(cdt)
                   * particle_mask[:, :, None]
                   * gather_nbr(particle_mask[..., None])[..., 0])
 
+        dense = dict(dtype=cdt)
+        a_cdt = a_cur.astype(cdt)
+
         # particle encoder: [s_delta(3), attr(1), den(1)] (gnn_dyn.py:127-128)
         p_in = jnp.concatenate(
-            [s_delta, a_cur[..., None], jnp.broadcast_to(den, (B, N, 1))],
-            axis=-1)
-        particle_encode = MLP((nf, nf), name="particle_encoder")(p_in)
+            [s_delta.astype(cdt), a_cdt[..., None],
+             jnp.broadcast_to(den, (B, N, 1))], axis=-1)
+        particle_encode = MLP((nf, nf), name="particle_encoder",
+                              **dense)(p_in)
         particle_effect = particle_encode
 
-        # relation encoder: [attr_r(1), attr_s(1), offset(3), den(1)]
-        s_rel = s_cur  # receiver/sender positions (offsets thereof)
-        a_s = gather_nbr(a_cur[..., None], exact=True)        # (B,N,K,1)
-        s_s = gather_nbr(s_rel, exact=True)                   # (B,N,K,3)
+        # relation encoder: [attr_r(1), attr_s(1), offset(3), den(1)].
+        # The offset is formed in f32 BEFORE casting: positions are large
+        # relative to inter-particle offsets.
+        s_rel = s_cur
+        a_s = gather_exact(a_cur[..., None])                  # (B,N,K,1)
+        s_s = gather_exact(s_rel)                             # (B,N,K,3)
+        offset = (s_rel[:, :, None, :] - s_s).astype(cdt)
         r_in = jnp.concatenate([
-            jnp.broadcast_to(a_cur[:, :, None, None], (B, N, K, 1)),
-            a_s,
-            s_rel[:, :, None, :] - s_s,
+            jnp.broadcast_to(a_cdt[:, :, None, None], (B, N, K, 1)),
+            a_s.astype(cdt),
+            offset,
             jnp.broadcast_to(den[:, :, None], (B, N, K, 1)),
         ], axis=-1)
-        relation_encode = MLP((nf, nf, nf), name="relation_encoder")(r_in)
+        relation_encode = MLP((nf, nf, nf), name="relation_encoder",
+                              **dense)(r_in)
 
-        rel_prop = nn.Dense(nf, name="relation_propagator")
-        part_prop = nn.Dense(nf, name="particle_propagator")
+        # relation propagator restructured: Dense over
+        # concat([relation_encode, eff_r, eff_s, den]) ==
+        #   re@Wre + eff_r@Wr + eff_s@Ws + den*Wden + b.
+        # The re/den/bias part is loop-invariant (hoisted out of the pstep
+        # loop), eff_r@Wr is computed at (B, N, nf) BEFORE broadcasting
+        # over K, and eff_s@Ws is matmul'd before the sender gather —
+        # together this removes the (B, N, K, 3nf+1) concat and most of
+        # the per-edge activation traffic (the planner-batch bottleneck).
+        rk, rb = _DenseParams(3 * nf + 1, nf,
+                              name="relation_propagator")()
+        rk = rk.astype(cdt)
+        w_re, w_er, w_es, w_den = (rk[:nf], rk[nf:2 * nf],
+                                   rk[2 * nf:3 * nf], rk[3 * nf:])
+        rel_base = (relation_encode @ w_re
+                    + den[:, :, None] * w_den[0]
+                    + rb.astype(cdt))                          # (B,N,K,nf)
+        part_prop = nn.Dense(nf, name="particle_propagator", **dense)
 
         for _ in range(self.pstep):
-            eff_r = jnp.broadcast_to(particle_effect[:, :, None, :],
-                                     (B, N, K, nf))
-            eff_s = gather_nbr(particle_effect)
-            rel_in = jnp.concatenate([
-                relation_encode, eff_r, eff_s,
-                jnp.broadcast_to(den[:, :, None], (B, N, K, 1))], axis=-1)
-            effect_rel = nn.relu(rel_prop(rel_in))            # (B,N,K,nf)
+            pe_r = particle_effect @ w_er                      # (B,N,nf)
+            pe_s = gather_nbr(particle_effect @ w_es)          # (B,N,K,nf)
+            effect_rel = nn.relu(rel_base + pe_r[:, :, None, :] + pe_s)
             agg = jnp.sum(effect_rel * edge_w[..., None], axis=2)
 
             part_in = jnp.concatenate(
@@ -116,9 +181,9 @@ class PropNetDiffDen(nn.Module):
                 axis=-1)
             particle_effect = nn.relu(part_prop(part_in) + particle_effect)
 
-        pred = MLP((nf, 3), relu_last=False,
-                   name="particle_predictor")(particle_effect)
-        return pred + s_cur
+        pred = MLP((nf, 3), relu_last=False, name="particle_predictor",
+                   **dense)(particle_effect)
+        return pred.astype(jnp.float32) + s_cur
 
 
 class PropNetDiffDenModel:
@@ -131,6 +196,10 @@ class PropNetDiffDenModel:
         self.adj_thresh = config["train"]["particle"]["adj_thresh"]
         self.nf_effect = config["train"]["particle"]["nf_effect"]
         self.net = PropNetDiffDen(nf_effect=self.nf_effect)
+        # bandwidth-halved inference stack for the planner (same params:
+        # flax dtype only sets compute dtype, param storage stays f32)
+        self.net_bf16 = PropNetDiffDen(nf_effect=self.nf_effect,
+                                       compute_dtype=jnp.bfloat16)
         self.params = params
 
     def init(self, key, n=32, k=10):
@@ -162,12 +231,13 @@ class PropNetDiffDenModel:
         return idx, ok
 
     def predict_one_step(self, params, a_cur, s_cur, s_delta, particle_den,
-                         particle_nums=None):
+                         particle_nums=None, bf16: bool = False):
         s = s_cur + s_delta
         nbr_idx, nbr_ok = self.build_graph(s, particle_nums)
         mask = None
         if particle_nums is not None:
             mask = (jnp.arange(s.shape[1])[None, :]
                     < particle_nums[:, None]).astype(s.dtype)
-        return self.net.apply(params, a_cur, s_cur, s_delta, nbr_idx, nbr_ok,
-                              particle_den, mask)
+        net = self.net_bf16 if bf16 else self.net
+        return net.apply(params, a_cur, s_cur, s_delta, nbr_idx, nbr_ok,
+                         particle_den, mask)

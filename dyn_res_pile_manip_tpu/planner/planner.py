@@ -88,6 +88,10 @@ class PlannerGD:
         self._w2c = jnp.asarray(world2cam_matrix(self.cam_extrinsic),
                                 jnp.float32)
         self._iter_ms = {}          # shape-bucket -> measured ms/iter
+        # bf16 GNN compute in the optimize loop (~2x per-iteration; exact
+        # position selection is preserved — models/gnn_dyn.py). The
+        # reference runs f32 torch; disable via mpc.gd.bf16: false.
+        self.bf16 = bool(config["mpc"]["gd"].get("bf16", True))
 
     # ------------------------------------------------------------ sampling
     def sample_action_sequences(self, init_act_seq, init_act_label_seq,
@@ -157,7 +161,8 @@ class PlannerGD:
         for t in range(act_seqs.shape[1]):
             s_delta = gen_s_delta(s, act_seqs[:, t, :], self._w2c,
                                   self.global_scale)
-            s = model_dy.predict_one_step(params, attr, s, s_delta, den)
+            s = model_dy.predict_one_step(params, attr, s, s_delta, den,
+                                          bf16=self.bf16)
             preds.append(s)
         return jnp.stack(preds, axis=1)       # (S, n_act, Np, 3)
 
