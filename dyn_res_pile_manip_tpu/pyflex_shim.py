@@ -43,6 +43,8 @@ class _Runtime:
         self.xc = None
         self.w_tiles = None
         self.grabbed = None  # cloth_manip grabbed control point
+        self.phases = None   # set_phases override (colors by phase id)
+        self.box_colors = {}  # box collider idx -> explicit RGB
         # capacity bucket (tests shrink it for small-scene speed; must
         # stay a multiple of sim.pbd.TILE)
         self.capacity_multiple = 1024
@@ -104,6 +106,8 @@ def set_scene(idx, scene_params, thread_idx=0):
     _rt.n_capsules = 0
     _rt.shapes = []
     _rt.grabbed = None
+    _rt.phases = None
+    _rt.box_colors = {}
     if build.extra_planes is not None:
         # numPlanes > 1: the scene's own boundary walls (pyflex.cpp:793-798)
         _rt.colliders = _rt.colliders.replace(
@@ -165,7 +169,29 @@ def get_phases():
     group id (-1 = free particle), which carries the same collision-
     filtering meaning (NvFlex.h:160-176)."""
     act = np.asarray(_rt.state.active)
+    if _rt.phases is not None:
+        return _rt.phases[act].copy()
     return np.asarray(_rt.state.group)[act].reshape(-1).copy()
+
+
+# FleX's DrawPoints colors particles from the fixed g_colors table indexed
+# by phase (pyflex.cpp:1183-1400); same role here.
+PHASE_PALETTE = np.array([
+    [0.00, 0.50, 1.00], [0.80, 0.20, 0.20], [0.20, 0.80, 0.30],
+    [0.95, 0.80, 0.10], [0.70, 0.30, 0.90], [0.10, 0.80, 0.80],
+    [0.95, 0.50, 0.20], [0.60, 0.60, 0.60]])
+
+
+def set_phases(phases):
+    """Recolor particles by phase id (pyflex.set_phases; FleX re-phases
+    collision filtering too — here rigid constraints are fixed at
+    set_scene, matching FleX where clusters come from CreateParticleShape,
+    and only the rendered color follows the new phases)."""
+    ph = np.asarray(phases, np.int64).reshape(-1)
+    full = np.zeros(int(_rt.state.x.shape[0]), np.int64)
+    act = np.flatnonzero(np.asarray(_rt.state.active))
+    full[act[:len(ph)]] = ph[:len(act)]
+    _rt.phases = full
 
 
 def _apply_update_params(update_params):
@@ -229,11 +255,39 @@ def _yaw_from_quat(q):
     return np.arctan2(2.0 * (w * y + x * z), 1.0 - 2.0 * (y * y + z * z))
 
 
+def _ensure_box_capacity(n):
+    """Grow the padded box-collider arrays so slot ``n`` exists (the
+    static capacity is a compile-shape choice, not a scene limit; a grow
+    retraces the jitted step/render once)."""
+    import jax.numpy as jnp
+
+    col = _rt.colliders
+    cap = col.box_center.shape[0]
+    if n < cap:
+        return
+    pad = max(cap, n + 1 - cap)
+    _rt.colliders = col.replace(
+        box_center=jnp.concatenate(
+            [col.box_center, jnp.zeros((pad, 3), jnp.float32)]),
+        box_half=jnp.concatenate(
+            [col.box_half, jnp.zeros((pad, 3), jnp.float32)]),
+        box_yaw=jnp.concatenate(
+            [col.box_yaw, jnp.zeros((pad,), jnp.float32)]),
+        box_active=jnp.concatenate(
+            [col.box_active, jnp.zeros((pad,), bool)]),
+        box_vel=jnp.concatenate(
+            [col.box_vel, jnp.zeros((pad, 3), jnp.float32)]),
+    )
+
+
 def add_box(halfEdge, center, quat, hideShape=0, color=None):
     b = _rt.n_boxes
+    _ensure_box_capacity(b)
     _rt.colliders = _rt.colliders.with_box(
         b, np.asarray(center), np.asarray(halfEdge),
         yaw=_yaw_from_quat(quat), active=True)
+    if color is not None:
+        _rt.box_colors[b] = np.asarray(color, np.float64).reshape(3)
     _rt.n_boxes += 1
     _rt.shapes.append(("box", b))
     return len(_rt.shapes) - 1
@@ -348,12 +402,24 @@ def render(render_depth: bool = True, *_args):
         z_med = float(np.median(z[z > 0.05])) if (z > 0.05).any() else 1.0
         px_r = draw_r * fx / max(z_med, 1e-3)
         expand = int(np.clip(2 * round(np.ceil(px_r) / 2), 2, 6))
+    color = np.asarray(_rt.build.color, np.float64)
+    if _rt.phases is not None:
+        color = PHASE_PALETTE[_rt.phases % len(PHASE_PALETTE)]
+    box_colors = None
+    if _rt.box_colors:
+        box_colors = np.broadcast_to(
+            np.asarray(raster.BOX_COLOR),
+            (_rt.colliders.box_center.shape[0], 3)).copy()
+        for b, c in _rt.box_colors.items():
+            box_colors[b] = c
+        box_colors = jnp.asarray(box_colors, jnp.float32)
     obs = raster.render_rgbd(
         _rt.state.x, _rt.state.active, _rt.colliders,
         jnp.asarray(cam.opencv_from_world(), jnp.float32), fx, fy, cx, cy,
-        jnp.asarray(_rt.build.color, jnp.float32),
+        jnp.asarray(color, jnp.float32),
         jnp.float32(draw_r),
-        width=cam.width, height=cam.height, expand=expand)
+        width=cam.width, height=cam.height, expand=expand,
+        box_colors=box_colors)
     obs = np.asarray(obs)
     if not render_depth:
         obs = obs[..., :4]

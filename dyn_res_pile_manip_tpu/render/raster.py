@@ -48,7 +48,8 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
                 particle_color: jnp.ndarray, draw_radius,
                 width: int = 720, height: int = 720,
                 skin: bool = False, shadows: bool = False,
-                expand: int | None = None) -> jnp.ndarray:
+                expand: int | None = None,
+                box_colors: jnp.ndarray | None = None) -> jnp.ndarray:
     """Rasterize particles + analytic colliders to an RGBD observation.
 
     cv_from_world: 4x4 matrix to OpenCV camera coords (x right, y down,
@@ -106,7 +107,10 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
         t = jnp.where(hit, jnp.where(tmin > 0, tmin, tmax), far)
         closer = t < bg_depth
         shade = 0.75 + 0.25 * jnp.clip(-d_l[..., 1], 0, 1)
-        rgb = BOX_COLOR[None, None, :] * shade[..., None]
+        # per-shape colors (AddBox color arg, pyflex.cpp:1525-1620
+        # DrawShapes per-shape g_colors lookup)
+        bc = BOX_COLOR if box_colors is None else box_colors[b]
+        rgb = bc[None, None, :] * shade[..., None]
         return (jnp.where(closer, t, bg_depth),
                 jnp.where(closer[..., None], rgb, bg_rgb))
 
@@ -186,6 +190,21 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     pbuf = pbuf.at[flat].min(jnp.where(okc, packed, sentinel))
     win = pbuf[:H * W].reshape(H, W)
 
+    # per-particle colors (test_colorRigidFall.py set_phases coloring /
+    # DrawPoints' per-phase g_colors, pyflex.cpp): re-scatter each cell
+    # winner's RGB555-quantized color into a parallel grid. Gated on the
+    # color array's rank so the fused hot path (scalar scene color) pays
+    # nothing.
+    per_particle = particle_color.ndim == 2
+    cwin = None
+    if per_particle:
+        cq = jnp.clip(particle_color * 31.0 + 0.5, 0, 31).astype(jnp.int32)
+        rgb555 = (cq[:, 0] << 10) | (cq[:, 1] << 5) | cq[:, 2]
+        match = okc & (pbuf[flat] == packed)
+        cb = jnp.zeros((H * W + 1,), jnp.int32)
+        cb = cb.at[flat].max(jnp.where(match, rgb555, 0))
+        cwin = cb[:H * W].reshape(H, W)
+
     # dense expansion: each output pixel takes the nearest sphere surface
     # among the neighboring particle centers. ``skin`` expands the visual
     # radius (~the reference's skin offset/expand) so rigid groups read as
@@ -196,6 +215,7 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     pbulge = jnp.zeros((H, W))
     pnx = jnp.zeros((H, W))
     pny = jnp.zeros((H, W))
+    pcol = jnp.zeros((H, W), jnp.int32)
     # footprint half-width in pixels. The granular workload's top-down
     # camera projects grains to ~3-5 px (SPLAT=5 is exact); close-up
     # small-scale scenes (the yz_* families) need wider footprints —
@@ -226,6 +246,13 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
             pbulge = jnp.where(closer, bulge, pbulge)
             pnx = jnp.where(closer, oy, pnx)   # cam x offset (u direction)
             pny = jnp.where(closer, ox, pny)   # cam y offset (v direction)
+            if per_particle:
+                shc = jnp.zeros((H, W), jnp.int32)
+                srcc = cwin[max(0, -di):H - max(0, di),
+                            max(0, -dj):W - max(0, dj)]
+                shc = jax.lax.dynamic_update_slice(
+                    shc, srcc, (max(0, di), max(0, dj)))
+                pcol = jnp.where(closer, shc, pcol)
 
     # diffuse shading from the sphere-surface normal (camera space), the
     # role of the reference's per-fragment lighting (shadersGL.cpp)
@@ -240,8 +267,14 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
 
     particle_won = pdepth < bg_depth
     depth = jnp.where(particle_won, pdepth, bg_depth)
+    if per_particle:
+        base = jnp.stack([((pcol >> 10) & 31).astype(jnp.float32),
+                          ((pcol >> 5) & 31).astype(jnp.float32),
+                          (pcol & 31).astype(jnp.float32)], -1) / 31.0
+    else:
+        base = jnp.broadcast_to(particle_color[None, None, :], (H, W, 3))
     rgb = jnp.where(particle_won[..., None],
-                    particle_color[None, None, :] * pshade[..., None],
+                    base * pshade[..., None],
                     bg_rgb)
 
     if shadows:

@@ -32,7 +32,12 @@ def test_unknown_preset_raises():
 
 
 def test_scene_registry_indices():
-    assert sorted(scene.SCENE_REGISTRY) == [18, 20, 21, 22, 23]
+    # the granular family at its reference indices, plus the full
+    # registered registry 0-23 (scenes_extra; pyflex.cpp:2458-2502)
+    for idx in (18, 20, 21, 22, 23):
+        assert idx in scene.SCENE_REGISTRY
+    import dyn_res_pile_manip_tpu.env.scenes_extra  # noqa: F401
+    assert sorted(scene.SCENE_REGISTRY) == list(range(24))
 
 
 def test_pyflex_shim_roundtrip():
@@ -59,4 +64,34 @@ def test_pyflex_shim_roundtrip():
                        np.array([5.0, 1.0, 0.0]),
                        np.array([0, 0, 0, 1]), 0, np.ones(3))
     assert b >= 0  # shape-state row index (reference add_box returns void)
+    pyflex.clean()
+
+
+def test_set_phases_and_box_growth():
+    """set_phases colors roundtrip (test_colorRigidFall.py protocol) and
+    add_box beyond the preallocated collider capacity auto-grows."""
+    from dyn_res_pile_manip_tpu import pyflex_shim as pyflex
+
+    pyflex.set_screenWidth(96)
+    pyflex.set_screenHeight(96)
+    pyflex.init(True)
+    pyflex.set_scene(3, np.array([2, -9.8, 0.0, 0.1, 0.0,
+                                  0.05, 0.35, 0.05, 0.0]))
+    n = pyflex.get_n_particles()
+    ph = [i % 2 for i in range(n)]
+    pyflex.set_phases(ph)
+    assert (np.asarray(pyflex.get_phases()) == np.asarray(ph)).all()
+
+    # 9 user boxes exceeds the preallocated 8-slot capacity
+    quat = np.array([0.0, 0.0, 0.0, 1.0])
+    for k in range(9):
+        pyflex.add_box(np.array([0.05, 0.05, 0.05]),
+                       np.array([2.0 + 0.2 * k, 0.05, 0.0]), quat,
+                       color=[0.5, 0.2, 0.8])
+    col = pyflex._rt.colliders
+    assert col.box_center.shape[0] >= 10
+    assert bool(col.box_active[9])          # the 9th user box landed
+    states = pyflex.get_shape_states()
+    assert states.shape == (9, 14)
+    pyflex.step()
     pyflex.clean()

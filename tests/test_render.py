@@ -100,3 +100,52 @@ def test_skin_and_shadow_options():
     assert (shad[..., :3] < plain[..., :3] - 1e-4).any()        # some shadow
     for o in (plain, skin, shad):
         assert o[..., :3].min() >= 1.0 and o[..., :3].max() <= 255.0
+
+
+def test_per_particle_colors():
+    """Per-particle colors (set_phases coloring / DrawPoints per-phase
+    g_colors): two separated particles must render with their own hues;
+    depth must be identical to the scalar-color path."""
+    x = np.array([[-1.5, 0.0375, 0.0], [1.5, 0.0375, 0.0]])
+    colors = jnp.asarray([[1.0, 0.05, 0.05], [0.05, 0.05, 1.0]],
+                         jnp.float32)
+    cam = Camera.default(GS, width=240, height=240)
+    fx, fy, cx, cy = cam.cam_params()
+    col = Colliders.ground_only(1)
+    obs = np.asarray(raster.render_rgbd(
+        jnp.asarray(x, jnp.float32), jnp.ones(2, bool), col,
+        jnp.asarray(cam.opencv_from_world(), jnp.float32),
+        fx, fy, cx, cy, colors, jnp.float32(0.3),
+        width=240, height=240))
+    ref = np.asarray(raster.render_rgbd(
+        jnp.asarray(x, jnp.float32), jnp.ones(2, bool), col,
+        jnp.asarray(cam.opencv_from_world(), jnp.float32),
+        fx, fy, cx, cy, jnp.array([0.9, 0.6, 0.1], jnp.float32),
+        jnp.float32(0.3), width=240, height=240))
+    assert np.array_equal(obs[..., 4], ref[..., 4])      # depth unchanged
+    fg = obs[..., 4] < 17.9
+    assert fg.any()
+    rgb = obs[..., :3][fg]
+    reds = rgb[:, 0] > 2.0 * np.maximum(rgb[:, 2], 1.0)
+    blues = rgb[:, 2] > 2.0 * np.maximum(rgb[:, 0], 1.0)
+    assert reds.any() and blues.any()        # both hues present
+    assert (reds | blues).mean() > 0.9       # and nothing else
+
+
+def test_box_colors():
+    """Per-shape box colors (AddBox color argument)."""
+    col = Colliders.ground_only(2).with_box(
+        0, (0.0, 1.0, 0.0), (1.0, 1.0, 1.0), active=True)
+    box_colors = jnp.asarray([[1.0, 0.0, 0.0], [0.9, 0.9, 0.9]],
+                             jnp.float32)
+    cam = Camera.default(GS, width=120, height=120)
+    fx, fy, cx, cy = cam.cam_params()
+    obs = np.asarray(raster.render_rgbd(
+        jnp.zeros((1, 3), jnp.float32), jnp.zeros(1, bool), col,
+        jnp.asarray(cam.opencv_from_world(), jnp.float32),
+        fx, fy, cx, cy, jnp.array([0.9, 0.6, 0.1], jnp.float32),
+        jnp.float32(0.1), width=120, height=120, box_colors=box_colors))
+    boxpix = obs[..., 4] < 17.5
+    assert boxpix.any()
+    rgb = obs[..., :3][boxpix]
+    assert (rgb[:, 0] > 3.0 * np.maximum(rgb[:, 1], 1.0)).mean() > 0.95
