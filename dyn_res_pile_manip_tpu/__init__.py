@@ -34,6 +34,11 @@ def _enable_compilation_cache():
     try:
         import jax
 
+        if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+            # without the axon plugin, XLA:CPU AOT deserialization on this
+            # host SEGFAULTS (even on same-process entries) — plain-CPU
+            # runs must go cold
+            return
         if jax.config.jax_compilation_cache_dir is None:
             jax.config.update(
                 "jax_compilation_cache_dir",

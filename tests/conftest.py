@@ -12,8 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# persistent cache ONLY under the axon plugin: without it, XLA:CPU AOT
+# deserialization on this host SEGFAULTS (even on entries written by the
+# same process — reproducible at sim/pbd.py extract_rotation); with the
+# plugin loaded the same loads work. CPU-only runs pay cold compiles.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests_axon")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # this environment's CPU backend runs f32 matmuls at reduced precision by
 # default; tests need deterministic full-precision numerics
