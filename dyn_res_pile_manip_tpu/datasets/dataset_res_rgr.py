@@ -17,6 +17,16 @@ class DatasetResRgr:
     def __init__(self, data_dir, config, phase):
         self.config = config
         self.num_data = config["train_res_cls"]["num_data"]
+        # sharded GP labeling can leave holes in the scene numbering
+        # (worker crashes); index only complete scene dirs. The reference
+        # assumes contiguous 0..num_data-1 (dataset_res_rgr.py:14-40) —
+        # same ordering here, minus the holes.
+        self.scenes = sorted(
+            (int(d) for d in os.listdir(data_dir)
+             if d.isdigit()
+             and os.path.exists(os.path.join(data_dir, d, "opt_den.npy"))
+             and os.path.exists(os.path.join(data_dir, d, "init.png"))))
+        self.num_data = min(self.num_data, len(self.scenes))
         ratio = config["train_res_cls"]["train_valid_ratio"]
         n_train = int(self.num_data * ratio)
         if phase == "train":
@@ -34,7 +44,7 @@ class DatasetResRgr:
         return self.n_episode
 
     def __getitem__(self, idx):
-        i = idx + self.epi_st_idx
+        i = self.scenes[idx + self.epi_st_idx]
         init_img = read_color(os.path.join(self.data_dir, f"{i}/init.png")
                               )[..., 0] / 255.0
         goal_img = read_color(os.path.join(self.data_dir, f"{i}/goal.png")
@@ -64,3 +74,69 @@ def iterate_batches(dataset, batch_size, shuffle=True, seed=0):
         for k in items[0]:
             out[k] = np.stack([it[k] for it in items])
         yield out
+
+
+def test_dataset(config=None):
+    """Load one random sample and print its shapes/ranges — the dataset
+    smoke entry (reference dataset/dataset_res_rgr.py:132-136)."""
+    from ..utils.config import load_config
+
+    config = config or load_config()
+    ds = DatasetResRgr(config["train_res_cls"]["data_root"], config,
+                       "train")
+    data = ds[int(np.random.randint(0, len(ds)))]
+    for k, v in data.items():
+        v = np.asarray(v)
+        print(f"{k}: shape={v.shape} range=[{v.min():.4f},{v.max():.4f}]")
+    return data
+
+
+def viz_dataset(config=None, out_dir="mpc_res_dataset_viz"):
+    """Histogram the labeled optimal densities/confidences and dump a few
+    (init, goal, density) sample cards per density band (reference
+    dataset/dataset_res_rgr.py:176-222)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.config import load_config
+
+    config = config or load_config()
+    os.makedirs(out_dir, exist_ok=True)
+    ds = DatasetResRgr(config["train_res_cls"]["data_root"], config,
+                       "train")
+    densities = np.zeros(len(ds))
+    conf = np.zeros(len(ds))
+    for i in range(len(ds)):
+        data = ds[i]
+        densities[i] = float(np.asarray(data["optimal_den"]).item())
+        conf[i] = float(np.asarray(data["conf"]).item())
+    for name, vals in [("density_hist", densities), ("conf_hist", conf)]:
+        plt.hist(vals, bins=10)
+        plt.savefig(os.path.join(out_dir, f"{name}.png"))
+        plt.close()
+    rng = np.random.default_rng(0)
+    for den in (10, 30, 50, 100, 150):
+        band = np.flatnonzero(np.abs(densities - den) < 50)
+        if band.size == 0:
+            continue
+        idx = int(rng.choice(band))
+        data = ds[idx]
+        fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+        axes[0].imshow(np.asarray(data["input_img"])[0])
+        axes[0].set_title("init")
+        axes[1].imshow(np.asarray(data["input_img"])[1])
+        axes[1].set_title("goal")
+        axes[2].hist(densities, bins=10)
+        axes[2].axvline(densities[idx], color="r")
+        axes[2].set_title(f"opt_den={densities[idx]:.0f} "
+                          f"conf={conf[idx]:.2f}")
+        fig.savefig(os.path.join(out_dir, f"{idx}_{den}.png"))
+        plt.close(fig)
+    print(f"wrote histograms + sample cards to {out_dir}/")
+
+
+if __name__ == "__main__":
+    import sys
+
+    (viz_dataset if "viz" in sys.argv[1:] else test_dataset)()
