@@ -63,7 +63,21 @@ def save_frame(epi_dir: str, t: int, img: np.ndarray, positions: np.ndarray,
     return img
 
 
-def gen_data(config, base_epi=0, n_episodes=None, seed=None):
+def episode_complete(epi_dir: str, n_timestep: int) -> bool:
+    """True if the episode dir holds every frame file + actions.p (exact
+    index set, not a raw count — see scripts/merge_datagen_shards.py)."""
+    if not os.path.isdir(epi_dir):
+        return False
+    for t in range(n_timestep + 1):
+        for suffix in (f"{t}_color.png", f"{t}_depth.png",
+                       f"{t}_particles.npy"):
+            if not os.path.exists(os.path.join(epi_dir, suffix)):
+                return False
+    return os.path.exists(os.path.join(epi_dir, "actions.p"))
+
+
+def gen_data(config, base_epi=0, n_episodes=None, seed=None,
+             skip_existing=False):
     data_dir = config["dataset"]["folder"]
     n_episode = n_episodes if n_episodes is not None \
         else config["dataset"]["n_episode"]
@@ -78,8 +92,13 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None):
 
     idx_episode = base_epi
     while idx_episode < base_epi + n_episode:
-        env.reset()
         epi_dir = os.path.join(data_dir, str(idx_episode))
+        if skip_existing and episode_complete(epi_dir, n_timestep):
+            # restart-idempotent sharding: a supervisor loop can relaunch
+            # a worker after a TPU-tunnel drop without redoing episodes
+            idx_episode += 1
+            continue
+        env.reset()
         os.makedirs(epi_dir, exist_ok=True)
         actions = np.zeros((n_timestep, env.act_dim))
 
@@ -145,10 +164,11 @@ def main():
     ap.add_argument("--base-epi", type=int, default=0)
     ap.add_argument("--n-epi", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--skip-existing", action="store_true")
     args = ap.parse_args()
     config = load_config(args.config)
     gen_data(config, base_epi=args.base_epi, n_episodes=args.n_epi,
-             seed=args.seed)
+             seed=args.seed, skip_existing=args.skip_existing)
 
 
 if __name__ == "__main__":

@@ -30,17 +30,26 @@ BASE=$(ls data/gnn_dyn_data_custom | sort -n | tail -1)
 BASE=$((BASE + 1))
 TARGET=2000
 PER=$(( (TARGET - BASE + 1) / 2 ))
-echo "extending datagen from $BASE to $TARGET (2 workers x $PER)"
+echo "extending datagen from $BASE to $TARGET (2 supervised workers x $PER)"
 for off in 0 1; do
   START=$((BASE + off * PER))
   N=$PER
   [ $((START + N)) -gt $TARGET ] && N=$((TARGET - START))
   [ "$N" -le 0 ] && continue
-  nohup env PYTHONPATH=/root/.axon_site:/root/repo \
-    python -m dyn_res_pile_manip_tpu.datagen.gnn_dyn_data \
-    config/data_gen/gnn_dyn.yaml \
-    --base-epi "$START" --n-epi "$N" --seed $((9500 + off)) \
-    > "logs/datagen_ext2_$off.log" 2>&1 &
+  # supervisor loop: a tunnel drop kills the worker; --skip-existing makes
+  # the relaunch idempotent (completed episodes are skipped)
+  nohup sh -c "
+    tries=0
+    until env PYTHONPATH=/root/.axon_site:/root/repo \
+      python -m dyn_res_pile_manip_tpu.datagen.gnn_dyn_data \
+      config/data_gen/gnn_dyn.yaml \
+      --base-epi $START --n-epi $N --seed \$((9500 + $off * 100 + tries)) \
+      --skip-existing; do
+      tries=\$((tries + 1))
+      [ \$tries -gt 40 ] && break
+      echo \"worker $off retry \$tries after backoff\"
+      sleep 240
+    done" > "logs/datagen_ext2_$off.log" 2>&1 &
   echo $! > "/tmp/datagen_ext2_$off.pid"
 done
 echo "$(date -u +%H:%M:%S) recovery launch complete"
