@@ -142,6 +142,14 @@ class GPParamOpt:
         gp = self.config["mpc_data"]["gp"]
 
         for scene_idx in range(base_scene, base_scene + num_scene):
+            done = all(os.path.exists(os.path.join(
+                self.save_dir, str(scene_idx * self.num_steps + s),
+                "opt_den.npy")) for s in range(self.num_steps))
+            if done:
+                # restart-idempotent sharding after a worker/tunnel crash:
+                # a scene is complete once its GP optimum is written
+                print("scene %d already labeled, skipping" % scene_idx)
+                continue
             print("generating scene:", scene_idx)
             self._scene_setup(scene_idx, mode)
             self.last_pos = self.env.get_positions()
