@@ -73,19 +73,45 @@ _CACHE = _FileCache()
 
 
 class ParticleDataset:
+    @staticmethod
+    def list_episodes(data_dir, n_timestep, cap=None):
+        """Sorted COMPLETE episode indices on disk (actions.p + the last
+        frame's triple). Gap-tolerant: sharded datagen workers write
+        disjoint contiguous ranges, so mid-run the union has holes — the
+        loader indexes this explicit list instead of range(n_episode)."""
+        try:
+            dirs = sorted(int(d) for d in os.listdir(data_dir)
+                          if d.isdigit())
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in dirs:
+            d = os.path.join(data_dir, str(e))
+            if (os.path.exists(os.path.join(d, "actions.p"))
+                    and os.path.exists(
+                        os.path.join(d, f"{n_timestep}_particles.npy"))):
+                out.append(e)
+            if cap is not None and len(out) >= cap:
+                break
+        return out
+
     def __init__(self, data_dir, config, phase, cam):
         self.config = config
         n_episode = config["dataset"]["n_episode"]
         n_timestep = config["dataset"]["n_timestep"]
         self.global_scale = config["dataset"]["global_scale"]
         ratio = config["train"]["train_valid_ratio"]
-        n_train = int(n_episode * ratio)
+        episodes = self.list_episodes(data_dir, n_timestep, cap=n_episode)
+        if not episodes:
+            episodes = list(range(n_episode))  # trust the config blindly
+        n_train = int(len(episodes) * ratio)
         if phase == "train":
-            self.epi_st_idx, self.n_episode = 0, n_train
+            self.episodes = episodes[:n_train]
         elif phase == "valid":
-            self.epi_st_idx, self.n_episode = n_train, n_episode - n_train
+            self.episodes = episodes[n_train:]
         else:
             raise AssertionError(f"Unknown phase {phase}")
+        self.n_episode = len(self.episodes)
         self.n_timestep = n_timestep + 1
         self.n_his = config["train"]["n_history"]
         self.n_roll = config["train"]["n_rollout"]
@@ -114,7 +140,7 @@ class ParticleDataset:
         particle_r = 1.0 / np.sqrt(particle_den)
 
         offset = self.n_timestep - self.n_his - self.n_roll + 1
-        idx_episode = idx // offset + self.epi_st_idx
+        idx_episode = self.episodes[idx // offset]
         idx_timestep = idx % offset
         epi = os.path.join(self.data_dir, str(idx_episode))
 
