@@ -743,6 +743,11 @@ def build_soft_rod(scene_params, seed):
     [scale(3), trans(3), clusterSpacing, clusterRadius, clusterStiffness,
     draw_mesh]. Update() drags listed particle indices in x/z."""
     p = np.asarray(scene_params, np.float64)
+    if p.size < 9:
+        # empty params = UB in the reference (yz_softrod.h:139 reads
+        # ptr[0..9] unchecked; examples/test.py passes []) — default to
+        # the canonical test_SoftRod configuration instead
+        p = np.array([10.0, 2.0, 2.0, 0.0, 0.05, 0.0, 4.0, 2.0, 0.2, 0.0])
     rng = np.random.default_rng(seed)
     radius = 0.1
     pts = _soft_volume("rod", p[0:3], radius, rng) + p[3:6]

@@ -135,6 +135,27 @@ def get_positions():
     return np.concatenate([xs, invm[:, None]], axis=1).reshape(-1)
 
 
+def _scene_bounds():
+    """Particle AABB expanded by the interaction radius — the same rule
+    FleX uses to seed g_sceneLower/g_sceneUpper from GetParticleBounds
+    (pyflex.cpp Init: bounds expanded by collision margin)."""
+    act = np.asarray(_rt.state.active)
+    xs = np.asarray(_rt.state.x)[act]
+    r = float(_rt.sim_params.radius)
+    return xs.min(axis=0) - r, xs.max(axis=0) + r
+
+
+def get_scene_lower():
+    """pyflex.get_scene_upper/lower (pyflex.cpp:3840-3850)."""
+    lo, _ = _scene_bounds()
+    return lo
+
+
+def get_scene_upper():
+    _, hi = _scene_bounds()
+    return hi
+
+
 def set_positions(positions):
     import jax.numpy as jnp
 
