@@ -327,10 +327,12 @@ class PlannerGD:
     # ------------------------------------------------- the jitted optimizer
     @functools.partial(jax.jit, static_argnames=("self", "model_dy",
                                                  "n_iters", "n_batch",
-                                                 "distractor_df_fn"))
+                                                 "distractor_df_fn",
+                                                 "fast_reward"))
     def _optimize(self, model_dy, params, s_cur, s_param, a_cur, acts0,
                   goal_field, goal_coor, lims_lo, lims_hi, lr,
-                  n_iters: int, n_batch: int, distractor_df_fn=None):
+                  n_iters: int, n_batch: int, distractor_df_fn=None,
+                  fast_reward: bool = False):
         """acts0: (S, n_act, 4). Returns final acts, per-iter stats, best
         action tracking. distractor_df_fn (jittable (px, py) -> intrusion
         depth) folds the swept-segment distractor penalty into the reward,
@@ -346,7 +348,15 @@ class PlannerGD:
             pred = self.ptcl_model_rollout(model_dy, params, s_cur, s_param,
                                            a_cur, acts)
             final = pred[:, -1]                              # (S, Np, 3)
-            r = rew.config_reward_ptcl(final, goal_field, cam, goal_coor)
+            if fast_reward:
+                # gather-free MXU reward (rank-K field + matmul coverage);
+                # candidate scoring/reporting stays on the exact reward
+                r = rew.config_reward_ptcl_fast(final, goal_field[0],
+                                                goal_field[1], cam,
+                                                goal_coor)
+            else:
+                r = rew.config_reward_ptcl(final, goal_field, cam,
+                                           goal_coor)
             if distractor_df_fn is not None:
                 dr = rew.distractor_reward_diff(
                     acts[:, :, None, :], distractor_df_fn, self.config,
@@ -421,7 +431,19 @@ class PlannerGD:
         warm = time.perf_counter() - t0          # includes compile
         t0 = time.perf_counter()
         jax.block_until_ready(run_fn(5))
-        ms = (time.perf_counter() - t0) * 1000.0 / 5
+        t5 = time.perf_counter() - t0
+        # slope between two iteration counts cancels the per-dispatch
+        # overhead (the axon tunnel round-trip alone is ~10 ms/iter when
+        # amortized over only 5 iterations) and the in-jit final reward
+        # eval; n=15 sits on the budget snap grid so this compile is
+        # reused by short time-budgeted runs
+        jax.block_until_ready(run_fn(15))        # compile
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_fn(15))
+        t15 = time.perf_counter() - t0
+        ms = (t15 - t5) * 1000.0 / 10
+        if not ms > 0:                           # timing noise floor
+            ms = t15 * 1000.0 / 15
         self._iter_ms[key] = ms
         return ms
 
@@ -458,6 +480,10 @@ class PlannerGD:
                                min(self.particle_num * 5,
                                    int((obs_goal < 0.5).sum())))
         goal_coor = jnp.asarray(coor)
+        fast_reward = bool(self.config["mpc"]["gd"].get("fast_reward",
+                                                        True))
+        opt_field = (rew.prepare_goal_lowrank(obs_goal) if fast_reward
+                     else goal_field)
 
         # initial action tensor: repeat over state hypotheses
         acts0 = np.transpose(act_seq, (1, 0, 2))          # (traj, n_act, 4)
@@ -470,10 +496,11 @@ class PlannerGD:
 
         def run(n_iters):
             return self._optimize(model_dy, model_params, s_cur, s_param,
-                                  a_cur, acts0, goal_field, goal_coor,
+                                  a_cur, acts0, opt_field, goal_coor,
                                   lims_lo, lims_hi, jnp.float32(lr),
                                   int(n_iters), int(n_batch),
-                                  distractor_df_fn=distractor_df_fn)
+                                  distractor_df_fn=distractor_df_fn,
+                                  fast_reward=fast_reward)
 
         key = (self.particle_num, n_batch, traj_num, n_act,
                distractor_df_fn is not None)
