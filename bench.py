@@ -108,8 +108,12 @@ def bench_sim_render():
 
         def body(carry, i):
             st, cache, acc = carry
+            # production rebuild cadence (env _run_frames: 16-frame
+            # heartbeat + displacement trigger; cache_stale is
+            # translation-aware, so the uniform free-fall phase reuses
+            # its cache and rebuilds fire on impact)
             st, cache = jax.lax.cond(
-                ((i % 2) == 0) | pbd.cache_stale(st, sp, cache),
+                ((i % 16) == 0) | pbd.cache_stale(st, sp, cache),
                 lambda: pbd.build_cache(st, sp,
                                         with_pair_mask=not use_pallas),
                 lambda: (st, cache))
