@@ -640,8 +640,11 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 # active-set prefix sizes (sorted-slot rows); tiers smaller than the state
-# capacity are compiled as extra switch branches (see _branch_plan)
-A_TIERS = (2048, 4096, 8192)
+# capacity are compiled as extra switch branches (see _branch_plan). 12288
+# catches the push-swath spikes that used to fall through to the full
+# 19.4k body when the disturbed region grew past 8192 candidates
+# (PERFORMANCE.md "Where remaining time goes").
+A_TIERS = (2048, 4096, 8192, 12288)
 
 
 def _branch_plan(n_capacity: int):
