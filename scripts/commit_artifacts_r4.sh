@@ -1,0 +1,60 @@
+#!/bin/sh
+# Round-4 wipe-proofing watcher. Fixes the round-3 failure mode
+# (scripts/commit_artifacts.sh:23 gated the GNN checkpoint on a
+# config.yaml that never existed, so the model was lost in the VM wipe):
+# this version commits EVERY net_best checkpoint it can find, gated on
+# nothing but the bytes having changed.
+#
+# Every 15 minutes:
+#   1. each COMPLETE GP-labeled scene (opt_den.npy) from any
+#      data/res_rgr_data_* tree -> assets/r2/res_rgr_data_r2/<scene>
+#   2. the NEWEST data/gnn_dyn_model/*/net_best.ckpt -> assets/r4/gnn_r4.ckpt
+#      (+ config.yaml / log.txt when present, but never required)
+#   3. the NEWEST data/res_rgr_model/*/net_best_dy.ckpt -> assets/r4/
+# Launch: nohup sh scripts/commit_artifacts_r4.sh > logs/commit_artifacts_r4.log 2>&1 &
+cd "$(dirname "$0")/.."
+
+while true; do
+  CHANGED=0
+
+  for d in data/res_rgr_data_r2/*/; do
+    [ -d "$d" ] || continue
+    s=$(basename "$d")
+    [ -f "$d/opt_den.npy" ] || continue
+    dst="assets/r2/res_rgr_data_r2/$s"
+    if [ ! -f "$dst/opt_den.npy" ]; then
+      mkdir -p "$dst"
+      cp "$d"/*.npy "$dst/" 2>/dev/null
+      cp "$d"/*.png "$dst/" 2>/dev/null
+      CHANGED=1
+    fi
+  done
+
+  GNN=$(ls -t data/gnn_dyn_model/*/net_best.ckpt 2>/dev/null | head -1)
+  if [ -n "$GNN" ] && ! cmp -s "$GNN" assets/r4/gnn_r4.ckpt; then
+    mkdir -p assets/r4
+    cp "$GNN" assets/r4/gnn_r4.ckpt
+    D=$(dirname "$GNN")
+    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/r4/gnn_r4_config.yaml
+    [ -f "$D/log.txt" ] && cp "$D/log.txt" assets/r4/gnn_r4_train_log.txt
+    CHANGED=1
+  fi
+
+  RGR=$(ls -t data/res_rgr_model/*/net_best_dy.ckpt 2>/dev/null | head -1)
+  if [ -n "$RGR" ] && ! cmp -s "$RGR" assets/r4/res_rgr_r4.ckpt; then
+    mkdir -p assets/r4
+    cp "$RGR" assets/r4/res_rgr_r4.ckpt
+    D=$(dirname "$RGR")
+    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/r4/res_rgr_r4_config.yaml
+    CHANGED=1
+  fi
+
+  if [ "$CHANGED" = 1 ]; then
+    git add assets/ >/dev/null 2>&1
+    git commit -q -m "Checkpoint trained artifacts to assets (r4 watcher)" || true
+    echo "$(date -u +%H:%M:%S) committed new artifacts"
+  else
+    echo "$(date -u +%H:%M:%S) no new artifacts"
+  fi
+  sleep 900
+done
