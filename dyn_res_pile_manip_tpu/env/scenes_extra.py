@@ -7,8 +7,9 @@ the reference (PyFleX/bindings/pyflex.cpp:2458-2502 registration order):
  13 Granular  15 ClothManip 17 FluidPour 19 FluidAndBox
 
 (5 SoftBody, 11 SoftRod, 12 ClothRigid, 14 BunnyGrip, 16 SoftFall use
-NvFlexExt soft-cluster machinery and are not yet ported — their registry
-slots raise with a message.) Param vectors mirror each scene header's
+NvFlexExt soft-cluster machinery, ported as overlapping weighted
+shape-matching clusters — see the scene builders below and
+sim/xpbd.py's soft-cluster pass.) Param vectors mirror each scene header's
 ``ptr[...]`` layout; construction helpers mirror helpers.h
 (CreateParticleGrid, CreateSpringGrid:1226, CreateRope:1315,
 CreateSpring:145). These scenes step through the unified XPBD solver
