@@ -332,12 +332,22 @@ class PlannerGD:
     def _optimize(self, model_dy, params, s_cur, s_param, a_cur, acts0,
                   goal_field, goal_coor, lims_lo, lims_hi, lr,
                   n_iters: int, n_batch: int, distractor_df_fn=None,
-                  fast_reward: bool = False):
+                  fast_reward: bool = False,
+                  lam_plen=jnp.float32(0.0)):
         """acts0: (S, n_act, 4). Returns final acts, per-iter stats, best
         action tracking. distractor_df_fn (jittable (px, py) -> intrusion
         depth) folds the swept-segment distractor penalty into the reward,
         differentiable through the actions (planners.py:700-712 +
-        flex_rewards.py:245-264)."""
+        flex_rewards.py:245-264).
+
+        lam_plen > 0 adds a quadratic push-length penalty (trust region on
+        the action magnitude): the round-2/3 diagnosis (logs/diag_gap_r2.log)
+        showed the Adam loop exploiting the model's over-optimism on LONG
+        pushes (+13.3 predicted vs -12.5 actual mean gain); model error
+        grows with per-push displacement, so shrinking preferred push
+        length keeps the optimizer inside the model's trust region. No
+        reference counterpart (the reference runs sim-free and inherits
+        the same exploitation failure mode)."""
         optimizer = optax.adam(lr, b1=0.9, b2=0.999)
         opt_state = optimizer.init(acts0)
         S, n_act, _ = acts0.shape
@@ -362,6 +372,9 @@ class PlannerGD:
                     acts[:, :, None, :], distractor_df_fn, self.config,
                     width=self.screenWidth)                  # (S*n_act,)
                 r = r + jnp.sum(dr.reshape(S, n_act), axis=1)
+            plen2 = jnp.sum((acts[:, :, 2:4] - acts[:, :, 0:2]) ** 2,
+                            axis=-1)                         # (S, n_act)
+            r = r - lam_plen * jnp.sum(plen2, axis=1)
             return -jnp.sum(r), r
 
         def body(carry, _):
@@ -397,16 +410,21 @@ class PlannerGD:
 
     @functools.partial(jax.jit, static_argnames=("self", "model_dy"))
     def _cross_eval(self, model_dy, params, s_cur, s_param, a_cur, cands,
-                    goal_field, goal_coor):
-        """Mean model reward of each candidate action sequence across ALL
-        state hypotheses. cands: (C, n_act, 4) -> (C,).
+                    goal_field, goal_coor, lam_plen=jnp.float32(0.0)):
+        """Mean and std of each candidate action sequence's model reward
+        across ALL state hypotheses. cands: (C, n_act, 4) -> ((C,), (C,)).
 
         Used by robust_select: the per-hypothesis argmax can crown an
         action that only looks good under one FPS resample of the cloud
         (model-error exploitation); scoring every finalist under the full
         hypothesis ensemble keeps only actions robust to perception
         noise. Selection-side extension of the reference's majority vote
-        (planners.py:771-781)."""
+        (planners.py:771-781). The std output feeds risk-averse selection
+        (mean - k*std): outcome variance across perception hypotheses is a
+        cheap epistemic-uncertainty proxy, and exploitative actions are
+        disproportionately high-variance. lam_plen applies the same
+        push-length trust-region penalty as _optimize so selection and
+        optimization score the same objective."""
         C = cands.shape[0]
         n_batch = s_cur.shape[0]
         acts = jnp.repeat(cands, n_batch, axis=0)      # (C*n_batch, n_act, 4)
@@ -414,7 +432,10 @@ class PlannerGD:
                                        a_cur, acts)
         cam = tuple(jnp.float32(c) for c in self.cam_params)
         r = rew.config_reward_ptcl(pred[:, -1], goal_field, cam, goal_coor)
-        return jnp.mean(r.reshape(C, n_batch), axis=1)
+        plen2 = jnp.sum((cands[:, :, 2:4] - cands[:, :, 0:2]) ** 2, axis=-1)
+        r_cb = r.reshape(C, n_batch)
+        mean_r = jnp.mean(r_cb, axis=1) - lam_plen * jnp.sum(plen2, axis=1)
+        return mean_r, jnp.std(r_cb, axis=1)
 
     def _calibrate(self, run_fn, key):
         if key in self._iter_ms:
@@ -482,6 +503,9 @@ class PlannerGD:
         goal_coor = jnp.asarray(coor)
         fast_reward = bool(self.config["mpc"]["gd"].get("fast_reward",
                                                         True))
+        lam_plen = jnp.float32(self.config["mpc"]["gd"].get(
+            "lam_push_len", 0.0))
+        risk_k = float(self.config["mpc"]["gd"].get("risk_select_std", 0.0))
         opt_field = (rew.prepare_goal_lowrank(obs_goal) if fast_reward
                      else goal_field)
 
@@ -500,7 +524,8 @@ class PlannerGD:
                                   lims_lo, lims_hi, jnp.float32(lr),
                                   int(n_iters), int(n_batch),
                                   distractor_df_fn=distractor_df_fn,
-                                  fast_reward=fast_reward)
+                                  fast_reward=fast_reward,
+                                  lam_plen=lam_plen)
 
         key = (self.particle_num, n_batch, traj_num, n_act,
                distractor_df_fn is not None)
@@ -543,13 +568,14 @@ class PlannerGD:
             # re-score every hypothesis's best action under the FULL
             # hypothesis ensemble; execute the one with the best mean
             cands = jnp.asarray(best_act, jnp.float32)    # (n_batch, n_act, 4)
-            mean_r = np.asarray(self._cross_eval(
+            mean_r, std_r = jax.tree_util.tree_map(np.asarray, self._cross_eval(
                 model_dy, model_params, s_cur, s_param, a_cur, cands,
-                goal_field, goal_coor))
-            j = int(np.argmax(mean_r))
+                goal_field, goal_coor, lam_plen=lam_plen))
+            score = mean_r - risk_k * std_r
+            j = int(np.argmax(score))
             action_seq_future = best_act[j]
             best_reward = float(mean_r[j])
-            candidate_scores = mean_r
+            candidate_scores = score
 
         # rollout the chosen sequence for reporting
         obs_seq_best = None
