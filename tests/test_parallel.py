@@ -91,3 +91,65 @@ def test_sharded_mpc_rollout_matches():
     sh = pmesh.shard_batch(m, (s, acts, attr, den))
     out_sharded = np.asarray(rollout(*sh))
     np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
+
+
+def test_sharded_planner_optimize_matches():
+    """The production hot loop itself — PlannerGD._optimize (jitted Adam
+    scan over GNN rollouts + reward) — sharded over the sample axis on 8
+    devices equals the single-device result (SURVEY.md §2.3 pjit mapping
+    of planners.py:336-359,685-697)."""
+    from dyn_res_pile_manip_tpu.core.camera import Camera
+    from dyn_res_pile_manip_tpu.models.gnn_dyn import PropNetDiffDenModel
+    from dyn_res_pile_manip_tpu.planner.planner import PlannerGD
+    from dyn_res_pile_manip_tpu.utils.config import load_config
+    from dyn_res_pile_manip_tpu.utils.imaging import gen_subgoal
+    from dyn_res_pile_manip_tpu.env import rewards as rew
+
+    class _Env:
+        is_real = False
+        screenWidth = screenHeight = 720
+
+        def __init__(self):
+            self.cam = Camera.default(24.0)
+            self.cvx_region = np.array([[-5.0, 5.0, -5.0, 5.0]])
+
+        def get_cam_params(self):
+            return self.cam.cam_params()
+
+        def get_cam_extrinsics(self):
+            return self.cam.extrinsics()
+
+    cfg = load_config()
+    model = PropNetDiffDenModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    model.params = params
+    planner = PlannerGD(cfg, _Env())
+
+    rng = np.random.default_rng(3)
+    N, n_batch, traj = 16, 2, 8
+    S = n_batch * traj
+    s_cur = jnp.asarray(rng.uniform(-0.1, 0.1, (n_batch, N, 3)),
+                        jnp.float32).at[..., 2].add(0.75)
+    s_param = jnp.full((n_batch,), 1000.0, jnp.float32)
+    a_cur = jnp.zeros((n_batch, N), jnp.float32)
+    acts0 = jnp.asarray(rng.uniform(-3, 3, (S, 1, 4)), jnp.float32)
+    subgoal, _ = gen_subgoal(360, 360, 80, h=720, w=720)
+    goal_field = rew.prepare_goal_lowrank(subgoal)
+    goal_coor = jnp.asarray(rew.goal_coords(subgoal, 64))
+    lo = jnp.asarray([-5.0, -5.0, -5.0, -5.0], jnp.float32)
+    hi = -lo
+
+    def run(acts):
+        return planner._optimize(
+            model, params, s_cur, s_param, a_cur, acts, goal_field,
+            goal_coor, lo, hi, jnp.float32(0.05), 5, int(n_batch),
+            fast_reward=True)
+
+    out_single = jax.tree_util.tree_map(np.asarray, run(acts0))
+
+    m = pmesh.make_mesh(8, platform="cpu")
+    acts_sh = pmesh.shard_batch(m, acts0)
+    out_sharded = jax.tree_util.tree_map(np.asarray, run(acts_sh))
+
+    for a, b in zip(out_single, out_sharded):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
