@@ -214,7 +214,21 @@ def bench_sim_push():
         out, acc = run(st, 128, push)
         jax.block_until_ready(acc)
         rates.append(n * 128 / (time.perf_counter() - t0))
+    bench_sim_push.n_particles = n      # for roofline_r4 --measure
     return rates[0], rates[1]
+
+
+def measure_mpc_ms_per_iter():
+    """Calibrated ms per optimize iteration at the bench point (for
+    scripts/roofline_r4.py --measure)."""
+    rps = bench_mpc()
+    return 64 * 30 / rps * 1000.0
+
+
+def measure_push_ms_per_frame():
+    """Measured ms per fused sim+render push frame at the 19.3k scene."""
+    push_rate, _ = bench_sim_push()
+    return bench_sim_push.n_particles / push_rate * 1000.0
 
 
 def bench_fluid():

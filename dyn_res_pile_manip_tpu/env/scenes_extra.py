@@ -215,7 +215,7 @@ def _bath(scene_params, seed, boxes, scene_upper, dam_dims=(8, 15, 8)):
         group=np.concatenate(group), num_groups=g, params=params,
         color=FLUID_COLOR, fluid_mask=np.concatenate(fluid),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=2.0),
+                     cohesion=0.02, viscosity=2.0, vorticity=40.0),
         scene_kind="fluid",
         extra_planes=bound_planes((0, 0, 0), scene_upper, pos, 5, 0.01))
 
@@ -261,7 +261,7 @@ def build_dam_break(scene_params, seed):
         params=_fluid_sim_params(), color=FLUID_COLOR,
         fluid_mask=np.ones(pts.shape[0], bool),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=2.0),
+                     cohesion=0.02, viscosity=2.0, vorticity=40.0),
         scene_kind="fluid",
         extra_planes=bound_planes((0, 0, 0), (1.6, 0.0, 0.8), pts, 5, 0.01))
 
@@ -283,7 +283,7 @@ def build_fluid_shake(scene_params, seed):
         params=_fluid_sim_params(), color=FLUID_COLOR,
         fluid_mask=np.ones(pts.shape[0], bool),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=2.0),
+                     cohesion=0.02, viscosity=2.0, vorticity=40.0),
         scene_kind="fluid")
 
 
@@ -309,7 +309,7 @@ def build_fluid_ice_shake(scene_params, seed):
         fluid_mask=np.concatenate([np.ones(fl.shape[0], bool),
                                    np.zeros(ice.shape[0], bool)]),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=float(p[6])),
+                     cohesion=0.02, viscosity=float(p[6]), vorticity=40.0),
         scene_kind="fluid")
 
 
@@ -329,7 +329,7 @@ def build_fluid_pour(scene_params, seed):
         params=_fluid_sim_params(), color=FLUID_COLOR,
         fluid_mask=np.ones(pos.shape[0], bool),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=2.0),
+                     cohesion=0.02, viscosity=2.0, vorticity=40.0),
         scene_kind="fluid")
 
 
@@ -369,7 +369,7 @@ def build_fluid_and_box(scene_params, seed):
         params=_fluid_sim_params(), color=FLUID_COLOR,
         fluid_mask=np.concatenate(fluid),
         xparams=dict(fluid_rest=rest, solid_rest=rest, kernel_h=radius,
-                     cohesion=0.02, viscosity=vis),
+                     cohesion=0.02, viscosity=vis, vorticity=40.0),
         scene_kind="fluid")
 
 
@@ -631,10 +631,25 @@ def build_cloth_manip(scene_params, seed):
 def _soft_volume(kind, scale3, radius, rng):
     """Particle-fill a normalized (unit-box) soft shape scaled by
     scale * radius (mesh->Normalize() + Scale(scale*radius) semantics,
-    yz_softfall.h:206-210). The reference samples shipped .ply/.obj
-    meshes; we fill analytic volumes of matching proportions."""
+    yz_softfall.h:206-210). The reference repo does NOT ship the
+    .ply/.obj assets its scene headers reference; when a real mesh is
+    present (``$DYNRES_MESH_DIR/<kind>.{ply,obj}``, default
+    assets/meshes/) it is voxel-filled exactly like CreateParticleShape
+    (utils/mesh.py); otherwise analytic volumes of matching proportions
+    stand in (PARITY.md)."""
     s = np.asarray(scale3, np.float64) * radius
     spacing = radius
+
+    import os
+    mesh_dir = os.environ.get("DYNRES_MESH_DIR", "assets/meshes")
+    for ext in (".ply", ".obj"):
+        path = os.path.join(mesh_dir, kind + ext)
+        if os.path.exists(path):
+            from ..utils import mesh as mesh_mod
+            verts, faces = mesh_mod.import_mesh(path)
+            return mesh_mod.fill_mesh_with_particles(
+                verts, faces, (0.0, 0.0, 0.0), float(s.max()), spacing,
+                rng)
 
     def ellipsoid(c, r):
         return lambda p: (((p - c) / r) ** 2).sum(axis=1) <= 1.0

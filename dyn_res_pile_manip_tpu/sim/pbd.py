@@ -644,6 +644,12 @@ def solve_contacts(xp: jnp.ndarray, x0: jnp.ndarray, x0j: jnp.ndarray,
 # catches the push-swath spikes that used to fall through to the full
 # 19.4k body when the disturbed region grew past 8192 candidates
 # (PERFORMANCE.md "Where remaining time goes").
+#
+# COST OF ADDING A TIER: each entry compiles one more lax.switch frame
+# body — ~30-60 s of cold compile on this 1-core host, paid by every
+# cache-less (plain-CPU) run. Weigh that against the tier's hit rate
+# before growing this tuple (PERFORMANCE.md records per-tier hit
+# histograms from the push profile).
 A_TIERS = (2048, 4096, 8192, 12288)
 
 

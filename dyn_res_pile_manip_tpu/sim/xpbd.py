@@ -22,7 +22,10 @@ Design (TPU-first, one jitted program per frame):
   - fluids follow Macklin & Mueller's position-based-fluids formulation
     (poly6 / spiky kernels, density-constraint lambda, s_corr
     anti-clustering standing in for FleX's cohesion, XSPH standing in for
-    its viscosity; vorticity confinement is not implemented).
+    its viscosity, vorticity confinement re-injecting the rotational
+    motion the projections dissipate — _vorticity_pass).
+  - cloth aero is per-triangle drag/lift in the wind frame (_tri_aero,
+    NvFlex.h:120-122), applied to the triangle's vertices.
 
 Solid/fluid rest-distance semantics mirror pyflex.cpp:756-765: when a
 scene sets fluidRestDistance > 0, solid pairs rest at that distance too.
@@ -88,18 +91,29 @@ class XConstraints(struct.PyTreeNode):
         default_factory=lambda: jnp.float32(0.0))
     plastic_creep: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.0))
+    # aero lift (NvFlex.h:122 — force prop. to velocity^2*area,
+    # perpendicular to velocity, toward the triangle plane normal)
+    lift: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0))
+    # vorticity confinement strength (NvFlex.h:128 g_params.
+    # vorticityConfinement; 40 in every registered fluid scene,
+    # 120 in yz_massrope.h:75)
+    vorticity: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.0))
     # static: does the scene have any fluid / springs / clusters at all
     # (compile-time branch pruning)
     has_fluid: bool = struct.field(pytree_node=False, default=False)
     has_springs: bool = struct.field(pytree_node=False, default=False)
     has_clusters: bool = struct.field(pytree_node=False, default=False)
+    has_triangles: bool = struct.field(pytree_node=False, default=False)
+    has_vorticity: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def build(cls, n_capacity: int, springs=None, fluid_mask=None,
               cloth_mask=None, triangles=None, fluid_rest=0.0,
               solid_rest=0.075, kernel_h=None, cohesion=0.0, viscosity=0.0,
-              wind=(0.0, 0.0, 0.0), drag=0.0, clusters=None,
-              plastic_threshold=0.0, plastic_creep=0.0,
+              wind=(0.0, 0.0, 0.0), drag=0.0, lift=0.0, vorticity=0.0,
+              clusters=None, plastic_threshold=0.0, plastic_creep=0.0,
               spring_multiple: int = 256) -> "XConstraints":
         """Host-side assembly with capacity padding.
 
@@ -185,8 +199,12 @@ class XConstraints(struct.PyTreeNode):
             viscosity=jnp.float32(viscosity),
             wind=jnp.asarray(wind, jnp.float32),
             drag=jnp.float32(drag),
+            lift=jnp.float32(lift),
+            vorticity=jnp.float32(vorticity),
             has_fluid=bool(fluid_rest > 0),
             has_springs=bool(s > 0),
+            has_triangles=bool(t > 0),
+            has_vorticity=bool(vorticity > 0 and fluid_rest > 0),
         )
 
 
@@ -486,6 +504,111 @@ def _xsph_pass(x, v, fluid_s, pair_ok, xc: XConstraints,
     return out.reshape(-1, 3)
 
 
+def _vorticity_pass(x, v, fluid_s, pair_ok, xc: XConstraints,
+                    params: SimParams, w_tiles: int, sdt) -> jnp.ndarray:
+    """Vorticity confinement (Macklin & Mueller PBF sec. 5; FleX
+    NvFlex.h:128 g_params.vorticityConfinement): two windowed sweeps —
+    (1) omega_i = sum_j (v_j - v_i) x grad_i W_ij (SPH curl, volume
+    factor 1/rho0), (2) eta_i = sum_j |omega_j| grad_i W_ij, then the
+    confinement force f = eps (eta-hat x omega) re-injects the rotational
+    motion the position-based projection dissipates. eps is the FleX
+    parameter scaled by _VORT_SCALE (FleX's internal force scaling is not
+    published; the scale is chosen so vorticityConfinement=40 visibly
+    prolongs dam-break swirl without destabilizing — see
+    tests/test_xpbd.py::test_dam_break_vorticity_confinement)."""
+    h = params.radius
+    nt = x.shape[0] // TILE
+    xw = _window(x, _PAD_POS, w_tiles)
+    a = x.reshape(nt, TILE, 3)
+    diff = a[:, :, None, :] - xw[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    inv_dist = jax.lax.rsqrt(jnp.maximum(d2, 1e-18))
+    flw = _window(fluid_s, False, w_tiles)
+    fli = fluid_s.reshape(nt, TILE)
+    in_h = (d2 < h * h) & pair_ok & flw[:, None, :]
+    # grad_i W(xi - xj) = -|gradW| r-hat (same convention as _fluid_pass)
+    gmag = jnp.where(in_h, _spiky_grad_mag(d2 * inv_dist, h), 0.0) \
+        / xc.rest_density
+    gradw = -gmag[..., None] * (diff * inv_dist[..., None])
+    vw = _window(v, 0.0, w_tiles)
+    dvel = vw[:, None, :, :] - v.reshape(nt, TILE, 3)[:, :, None, :]
+    omega = jnp.sum(jnp.cross(dvel, gradw), axis=2)          # (nt, TILE, 3)
+    om_mag = jnp.linalg.norm(omega, axis=-1)
+    omw = _window(om_mag.reshape(-1), 0.0, w_tiles)
+    eta = jnp.sum(omw[:, None, :, None] * gradw, axis=2)
+    n_hat = eta * jax.lax.rsqrt(
+        jnp.sum(eta * eta, axis=-1, keepdims=True) + 1e-10)
+    f = _VORT_SCALE * xc.vorticity * jnp.cross(n_hat, omega)
+    dv = sdt * f
+    # energy bound: confinement may only RE-inject a fraction of the
+    # motion a particle already has (|dv| <= 0.15 |v| per substep) — an
+    # unbounded kick during the initial splash fires particles through
+    # thin kinematic walls (tunneling past collide_static's one-substep
+    # sweep). FleX's closed solver necessarily bounds this too (its
+    # fluids don't self-accelerate).
+    vi = v.reshape(nt, TILE, 3)
+    vmag = jnp.linalg.norm(vi, axis=-1, keepdims=True)
+    dmag = jnp.linalg.norm(dv, axis=-1, keepdims=True)
+    dv = dv * jnp.minimum(1.0, 0.15 * vmag / jnp.maximum(dmag, 1e-12))
+    out = vi + jnp.where(fli[..., None], dv, 0.0)
+    return out.reshape(-1, 3)
+
+
+_VORT_SCALE = 0.02
+
+
+def _tri_aero(x, v, invm, xc_s: XConstraints, sdt) -> jnp.ndarray:
+    """Per-triangle wind/drag/lift (NvFlex.h:120-122 semantics: drag force
+    prop. to velocity^2 * area opposing the relative-wind normal motion;
+    lift prop. to velocity^2 * area, perpendicular to the velocity and
+    toward the triangle normal's side; wind enters as the reference frame
+    of the relative velocity). Replaces the round-3 per-particle drag
+    blend when the scene registers dynamic triangles.
+
+    tri rows are bounded (cloth sheets, few-k), so one 3xT gather + 3
+    scatter-adds per substep stay far off the granular hot path (the same
+    budget call as solve_springs). FleX's internal force scaling is not
+    published; _AERO_SCALE calibrates drag=0.06 to the previous
+    per-particle response at windStrength 1.5, and the update is clamped
+    so drag can never overshoot the wind frame (|dv| <= |v_rel|)."""
+    tri = xc_s.tri_idx
+    act = xc_s.tri_active
+    p0, p1, p2 = x[tri[:, 0]], x[tri[:, 1]], x[tri[:, 2]]
+    vt = (v[tri[:, 0]] + v[tri[:, 1]] + v[tri[:, 2]]) / 3.0
+    nvec = jnp.cross(p1 - p0, p2 - p0)
+    a2 = jnp.linalg.norm(nvec, axis=-1, keepdims=True)
+    n_hat = nvec / jnp.maximum(a2, 1e-12)
+    area = 0.5 * a2[:, 0]
+    vrel = vt - xc_s.wind[None, :]
+    speed = jnp.linalg.norm(vrel, axis=-1)
+    vn = jnp.sum(vrel * n_hat, axis=-1)                       # signed
+    f_drag = (-xc_s.drag * area * speed * vn)[:, None] * n_hat
+    # lift direction: component of n-hat perpendicular to the flow,
+    # magnitude prop. to speed^2 * area * cos(theta)*sin(theta)
+    v_hat = vrel / jnp.maximum(speed[:, None], 1e-9)
+    lift_dir = n_hat - jnp.sum(n_hat * v_hat, axis=-1,
+                               keepdims=True) * v_hat
+    lift_dir = lift_dir * jax.lax.rsqrt(
+        jnp.sum(lift_dir * lift_dir, axis=-1, keepdims=True) + 1e-12)
+    vt_mag = jnp.linalg.norm(vrel - vn[:, None] * n_hat, axis=-1)
+    f_lift = (-xc_s.lift * area * vt_mag * vn)[:, None] * lift_dir
+    f = jnp.where(act[:, None], _AERO_SCALE * (f_drag + f_lift), 0.0)
+    dv = jnp.zeros_like(v)
+    third = f / 3.0
+    for k in range(3):
+        dv = dv.at[tri[:, k]].add(third)
+    dv = dv * (sdt * invm)[:, None]
+    # drag cannot push a particle past rest in the wind frame
+    prel = v - xc_s.wind[None, :]
+    pmag = jnp.linalg.norm(prel, axis=-1, keepdims=True)
+    dmag = jnp.linalg.norm(dv, axis=-1, keepdims=True)
+    dv = dv * jnp.minimum(1.0, pmag / jnp.maximum(dmag, 1e-12))
+    return v + jnp.where(xc_s.cloth[:, None], dv, 0.0)
+
+
+_AERO_SCALE = 4.0e4
+
+
 # ---------------------------------------------------------------------------
 # the frame step
 # ---------------------------------------------------------------------------
@@ -515,10 +638,14 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
         xcc = xc_s.replace(cl_quat=cl_quat, cl_rest=cl_rest)
         v = v + sdt * gravity * params.gravity_y
         v = v * jnp.maximum(0.0, 1.0 - params.damping * sdt)
-        # aero on cloth particles: blend toward the wind velocity
-        # (approximates FleX per-triangle drag, g_params.drag/wind)
-        aero = xc_s.drag * (xc_s.wind[None, :] - v)
-        v = jnp.where(xc_s.cloth[:, None], v + sdt * 60.0 * aero, v)
+        if xc_s.has_triangles:
+            # per-triangle wind/drag/lift (NvFlex.h:120-122)
+            v = _tri_aero(x, v, wi_s, xc_s, sdt)
+        else:
+            # triangle-less scenes with drag: per-particle blend toward
+            # the wind velocity (e.g. rope-only aero)
+            aero = xc_s.drag * (xc_s.wind[None, :] - v)
+            v = jnp.where(xc_s.cloth[:, None], v + sdt * 60.0 * aero, v)
         speed = jnp.linalg.norm(v, axis=-1, keepdims=True)
         vcap = jnp.minimum(params.max_speed, params.radius / sdt)
         v = v * jnp.minimum(1.0, vcap / jnp.maximum(speed, 1e-9))
@@ -561,6 +688,10 @@ def _step_sorted_xpbd(state: SimState, xc_s: XConstraints,
             v_new = _xsph_pass(xp, v_new, xc_s.fluid, pair_ok, xc_s,
                                params, w_tiles)
             v_new = jnp.where(free[:, None], v_new, 0.0)
+        if xc_s.has_vorticity:
+            v_new = _vorticity_pass(xp, v_new, xc_s.fluid, pair_ok, xc_s,
+                                    params, w_tiles, sdt)
+            v_new = jnp.where(free[:, None], v_new, 0.0)
         xp = jnp.where(free[:, None], xp, x0)
         return (xp, v_new, quat, cl_quat, cl_rest), None
 
@@ -600,6 +731,7 @@ def step_frame_xpbd(state: SimState, xc: XConstraints, params: SimParams,
         jnp.arange(n, dtype=jnp.int32))
     xc_s = xc.replace(
         sp_idx=inv[xc.sp_idx],
+        tri_idx=inv[xc.tri_idx],
         fluid=xc.fluid[perm],
         cloth=xc.cloth[perm],
         soft=xc.soft[perm] if xc.soft.shape[0] == n else xc.soft,

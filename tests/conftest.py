@@ -38,3 +38,12 @@ except Exception:
 
 def cpu_devices(n=8):
     return jax.devices("cpu")[:n]
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: cold-CI tier — modules that finish in minutes even with "
+        "zero compile cache (plain-CPU runs are ALWAYS cold on this host: "
+        "the XLA:CPU AOT cache segfaults off-plugin, see above). Run: "
+        "pytest tests/ -m quick -q  (~3-4 min cold; scripts/ci_quick.sh)")

@@ -1,8 +1,11 @@
 """Camera module contract tests (vs analytic expectations of the reference
 camera model: pyflex.cpp:1246-1248, env/flex_env.py:192-201,1135-1145)."""
 import numpy as np
+import pytest
 
 from dyn_res_pile_manip_tpu.core.camera import Camera
+
+pytestmark = pytest.mark.quick
 
 
 def test_default_camera_topdown():

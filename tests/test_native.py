@@ -7,6 +7,8 @@ import pytest
 from dyn_res_pile_manip_tpu import native
 from dyn_res_pile_manip_tpu.core import geometry
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module", autouse=True)
 def built():

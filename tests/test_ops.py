@@ -1,9 +1,12 @@
 """On-device sampling ops vs host NumPy references."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dyn_res_pile_manip_tpu.ops import sampling
 from dyn_res_pile_manip_tpu.utils import pointcloud as pc
+
+pytestmark = pytest.mark.quick
 
 
 def _cloud(n=200, seed=0):

@@ -4,6 +4,8 @@ import pytest
 
 from dyn_res_pile_manip_tpu.env import presets, scene
 
+pytestmark = pytest.mark.quick
+
 ALL_PRESETS = [
     "spread", "wkspc_spread", "wkspc_spread_double", "wkspc_spread_triple",
     "wkspc_spread_4", "extra_large_wkspc_spread", "extra_small_wkspc_spread",

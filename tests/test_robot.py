@@ -1,9 +1,12 @@
 """FlexRobotHelper: analytic Panda FK/IK chain + link mirroring
 (reference env/flex_env.py:78-158, PyBullet-free)."""
 import numpy as np
+import pytest
 
 from dyn_res_pile_manip_tpu.env.robot import (FlexRobotHelper, PandaChain,
                                               _Q_HOME)
+
+pytestmark = pytest.mark.quick
 
 
 def test_fk_home_pose():

@@ -361,3 +361,137 @@ def test_xpbd_rest_density_lattice():
     rho3 = xpbd.rest_density_lattice(0.2, 0.1)
     assert rho3 == pytest.approx(315.0 / (64.0 * np.pi * 0.1 ** 3),
                                  rel=1e-6)
+
+
+def test_dam_break_vorticity_confinement():
+    """Vorticity confinement (NvFlex.h:128; yz_dambreak.h:53 sets 40):
+    the pass must be live (trajectories diverge from the unconfined run),
+    re-inject rather than drain motion, and stay bounded (no boil-off,
+    no NaN, pool stays in the box)."""
+    import jax.numpy as jnp
+
+    def run(vort_on):
+        pf.init()
+        pf.set_scene(2, np.zeros(1))
+        if not vort_on:
+            pf._rt.xc = pf._rt.xc.replace(
+                vorticity=jnp.float32(0.0), has_vorticity=False)
+        assert pf._rt.xc.has_vorticity == vort_on
+        for _ in range(40):
+            pf.step()
+        return _active_xv()
+
+    # identical seed path: init() resets the seed counter the same way
+    x_on, v_on = run(True)
+    x_off, v_off = run(False)
+    assert not np.isnan(x_on).any() and not np.isnan(x_off).any()
+    # same scene build (set_scene consumed the same seed sequence)
+    # -> any divergence is the confinement force
+    assert np.mean(np.linalg.norm(x_on - x_off, axis=1)) > 1e-4
+    # bounded: contained in the dam-break box (walls at x/z in [0, 1.6+])
+    for x in (x_on, x_off):
+        assert x[:, 1].min() >= 0.0 and x[:, 1].max() < 3.0
+        assert abs(x[:, 0]).max() < 2.5 and abs(x[:, 2]).max() < 2.5
+    # energy behavior: confinement re-injects rotational motion the
+    # projections dissipate -- mid-splash kinetic energy must not be
+    # drained by the pass, and must not blow up either
+    ke_on = float(np.mean(np.sum(v_on ** 2, axis=1)))
+    ke_off = float(np.mean(np.sum(v_off ** 2, axis=1)))
+    assert ke_on > 0.5 * ke_off, (ke_on, ke_off)
+    assert ke_on < 5.0 * ke_off, (ke_on, ke_off)
+
+
+def test_tri_aero_signs_and_clamp():
+    """Per-triangle aero unit checks (NvFlex.h:120-122): drag opposes
+    normal-direction motion relative to the wind; a still sheet in wind
+    is pushed along the wind; the update never overshoots the wind frame."""
+    import jax.numpy as jnp
+
+    xc = xpbd.XConstraints.build(
+        8, triangles=np.array([[0, 1, 2]]), wind=(0.0, 0.0, 0.0),
+        drag=0.06, lift=0.0)
+    x = jnp.zeros((8, 3)).at[1].set([0.1, 0.0, 0.0]).at[2].set(
+        [0.0, 0.1, 0.0])                      # normal along +z
+    invm = jnp.ones(8)
+    sdt = jnp.float32(1.0 / 120.0)
+
+    # moving along +z (its normal): drag must push back along -z
+    v = jnp.zeros((8, 3)).at[:3, 2].set(1.5)
+    v2 = xpbd._tri_aero(x, v, invm, xc, sdt)
+    dv = np.asarray(v2 - v)
+    assert (dv[:3, 2] < 0.0).all()
+    # never past rest in the wind frame (clamp)
+    assert np.abs(dv[:3, 2]).max() <= 1.5 + 1e-6
+
+    # still sheet, wind along +z: pushed along +z
+    xc_w = xpbd.XConstraints.build(
+        8, triangles=np.array([[0, 1, 2]]), wind=(0.0, 0.0, 2.0),
+        drag=0.06, lift=0.0)
+    v0 = jnp.zeros((8, 3))
+    v3 = xpbd._tri_aero(x, v0, invm, xc_w, sdt)
+    assert (np.asarray(v3)[:3, 2] > 0.0).all()
+    # non-cloth particles untouched
+    assert np.abs(np.asarray(v3)[3:]).max() == 0.0
+
+
+def test_flag_lift_changes_motion():
+    """g_params.lift (NvFlex.h:122) is live through the flag scene: a
+    windblown flag with lift deviates from the zero-lift trajectory."""
+    import jax.numpy as jnp
+
+    def run(lift):
+        pf.init()
+        pf.set_scene(10, np.array([1.0, 16, 12, 0.9, 0.5, 0.6, 1.5, 0.0]))
+        assert pf._rt.xc.has_triangles
+        pf._rt.xc = pf._rt.xc.replace(lift=jnp.float32(lift))
+        for _ in range(30):
+            pf.step(update_params=np.zeros(6))
+        x, _ = _active_xv()
+        return x
+
+    x0 = run(0.0)
+    x1 = run(0.8)
+    assert not np.isnan(x1).any()
+    assert np.mean(np.linalg.norm(x1 - x0, axis=1)) > 1e-4
+
+
+def test_soft_volume_uses_real_mesh_when_present(tmp_path, monkeypatch):
+    """Mesh-asset path (PARITY.md): when $DYNRES_MESH_DIR/<kind>.ply
+    exists, _soft_volume voxel-fills the actual mesh (CreateParticleShape
+    semantics, helpers.h) instead of the analytic stand-in."""
+    # a unit cube as a triangulated PLY
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                  for z in (0, 1)], np.float64)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],   # x faces
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],   # y faces
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],   # z faces
+    ], np.int32)
+    ply = tmp_path / "bunny.ply"
+    with open(ply, "w") as fp:
+        fp.write("ply\nformat ascii 1.0\n"
+                 f"element vertex {len(v)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 f"element face {len(f)}\n"
+                 "property list uchar int vertex_indices\nend_header\n")
+        for p in v:
+            fp.write(f"{p[0]} {p[1]} {p[2]}\n")
+        for tri in f:
+            fp.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+
+    rng = np.random.default_rng(0)
+    pts_analytic = scenes_extra._soft_volume("bunny", (6, 6, 6), 0.1, rng)
+    monkeypatch.setenv("DYNRES_MESH_DIR", str(tmp_path))
+    pts_mesh = scenes_extra._soft_volume("bunny", (6, 6, 6), 0.1, rng)
+    # the cube fills its whole 0.6-edge bounding volume; the analytic
+    # bunny (two ellipsoids) does not -> different counts, full extent
+    assert pts_mesh.shape[0] != pts_analytic.shape[0]
+    ext = pts_mesh.max(axis=0) - pts_mesh.min(axis=0)
+    assert (ext > 0.4).all(), ext
+    # and the full soft-body scene builds + steps with the real mesh
+    pf.init()
+    pf.set_scene(16, np.array([0.0, 6.0, 0.0, 0.35, 0.0, 0.0]))
+    for _ in range(5):
+        pf.step()
+    x, _ = _active_xv()
+    assert not np.isnan(x).any()
