@@ -108,9 +108,12 @@ class Colliders(struct.PyTreeNode):
 
     planes: (P, 4) half-spaces n.x + d >= 0 that particles must stay inside
         (FleX g_params.planes; carrots uses numPlanes=1, the ground).
-    boxes: oriented boxes (yaw about +y only — walls and the pusher are all
-        yaw-oriented). box 0 is reserved for the kinematic pusher; its pose
-        and velocity are animated per frame by the env.
+    boxes: oriented boxes. The granular workload animates yaw about +y
+        only (box_yaw — walls and the pusher); general orientations
+        compose through box_quat (R = yaw_rot @ quat_mat), used by
+        tilting kinematic shapes like the FluidPour pourer. box 0 is
+        reserved for the kinematic pusher; its pose and velocity are
+        animated per frame by the env.
     """
 
     planes: jnp.ndarray        # (P, 4)
@@ -125,6 +128,13 @@ class Colliders(struct.PyTreeNode):
     cap_radius: jnp.ndarray    # (C,)
     cap_active: jnp.ndarray    # (C,) bool
     cap_vel: jnp.ndarray       # (C, 3)
+    # full box orientation (wxyz, world<-local), composed ON TOP of
+    # box_yaw: R = yaw_rot(yaw) @ quat_mat(quat). Identity for the
+    # granular workload (pusher/walls are yaw-only); general-quat shapes
+    # (e.g. the FluidPour tilting glass) set yaw=0 and this quat. Empty
+    # (0, 4) only as the dataclass default — constructors materialize it.
+    box_quat: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 4), jnp.float32))
     # kinematic triangle meshes, baked to SDF grids at build time
     # (AddTriangleMesh parity, helpers.h:713-760; see sim/sdf.py).
     # All grids share resolution sim.sdf.SDF_RES; M grows host-side via
@@ -159,6 +169,9 @@ class Colliders(struct.PyTreeNode):
             cap_radius=jnp.zeros((num_capsules,), dtype=jnp.float32),
             cap_active=jnp.zeros((num_capsules,), dtype=bool),
             cap_vel=jnp.zeros((num_capsules, 3), dtype=jnp.float32),
+            box_quat=jnp.tile(
+                jnp.array([[1.0, 0.0, 0.0, 0.0]], dtype=jnp.float32),
+                (num_boxes, 1)),
         )
 
     def with_capsule(self, i: int, p0, p1, radius, active=True,
@@ -203,14 +216,21 @@ class Colliders(struct.PyTreeNode):
         )
 
     def with_box(self, i: int, center, half, yaw=0.0, active=True,
-                 vel=(0.0, 0.0, 0.0)) -> "Colliders":
-        return self.replace(
+                 vel=(0.0, 0.0, 0.0), quat=None) -> "Colliders":
+        """quat: optional full orientation (wxyz); composed with yaw
+        (see box_quat). Pass quat for tilted shapes, yaw for the
+        granular pusher/walls."""
+        out = self.replace(
             box_center=self.box_center.at[i].set(jnp.asarray(center, jnp.float32)),
             box_half=self.box_half.at[i].set(jnp.asarray(half, jnp.float32)),
             box_yaw=self.box_yaw.at[i].set(jnp.float32(yaw)),
             box_active=self.box_active.at[i].set(active),
             box_vel=self.box_vel.at[i].set(jnp.asarray(vel, jnp.float32)),
         )
+        if quat is not None:
+            out = out.replace(box_quat=self.box_quat.at[i].set(
+                jnp.asarray(quat, jnp.float32)))
+        return out
 
 
 def pad_capacity(n: int, multiple: int = 1024) -> int:

@@ -298,15 +298,21 @@ def _ensure_box_capacity(n):
             [col.box_active, jnp.zeros((pad,), bool)]),
         box_vel=jnp.concatenate(
             [col.box_vel, jnp.zeros((pad, 3), jnp.float32)]),
+        box_quat=jnp.concatenate(
+            [col.box_quat, jnp.tile(
+                jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32),
+                (pad, 1))]),
     )
 
 
 def add_box(halfEdge, center, quat, hideShape=0, color=None):
     b = _rt.n_boxes
     _ensure_box_capacity(b)
+    # store the FULL orientation (pyflex xyzw -> internal wxyz, yaw=0);
+    # tilted shapes (test_FluidPour pourer) collide and render exactly
     _rt.colliders = _rt.colliders.with_box(
         b, np.asarray(center), np.asarray(halfEdge),
-        yaw=_yaw_from_quat(quat), active=True)
+        yaw=0.0, quat=_wxyz(quat), active=True)
     if color is not None:
         _rt.box_colors[b] = np.asarray(color, np.float64).reshape(3)
     _rt.n_boxes += 1
@@ -371,8 +377,8 @@ def set_shape_states(states):
         vel = (states[i, :3] - states[i, 3:6]) / dt
         if kind == "box":
             col = col.with_box(idx, states[i, :3], np.asarray(
-                col.box_half[idx]), yaw=_yaw_from_quat(states[i, 6:10]),
-                active=True, vel=vel)
+                col.box_half[idx]), yaw=0.0,
+                quat=_wxyz(states[i, 6:10]), active=True, vel=vel)
         elif kind == "mesh":
             col = col.set_mesh_state(idx, states[i, :3],
                                      _wxyz(states[i, 6:10]), vel=vel)
@@ -387,7 +393,16 @@ def get_shape_states():
         if kind == "box":
             c = np.asarray(col.box_center[idx])
             yaw = float(col.box_yaw[idx])
-            q = np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)])
+            qy = np.array([np.cos(yaw / 2), 0.0, np.sin(yaw / 2), 0.0])
+            w2, x2, y2, z2 = np.asarray(col.box_quat[idx])
+            # compose q_total = q_yaw * q_box (wxyz), report as xyzw
+            w1, x1, y1, z1 = qy
+            q = np.array([
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            ])  # Hamilton product, emitted directly in xyzw order
         elif kind == "mesh":
             c = np.asarray(col.mesh_pos[idx])
             w, x, y, z = np.asarray(col.mesh_quat[idx])

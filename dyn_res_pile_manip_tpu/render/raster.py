@@ -91,9 +91,14 @@ def render_rgbd(x: jnp.ndarray, active: jnp.ndarray, colliders: Colliders,
     bg_rgb = jnp.where((t_floor < far)[..., None], floor_rgb, 0.0)
 
     # boxes (slab test in the box frame)
+    has_quat = colliders.box_quat.shape[0] == colliders.box_center.shape[0]
+
     def box_body(b, carry):
         bg_depth, bg_rgb = carry
         R = _yaw_rot(colliders.box_yaw[b])
+        if has_quat:
+            from ..sim.pbd import _quat_to_mat
+            R = R @ _quat_to_mat(colliders.box_quat[b][None])[0]
         o_l = (origin - colliders.box_center[b]) @ R
         d_l = dir_world @ R
         half = colliders.box_half[b]

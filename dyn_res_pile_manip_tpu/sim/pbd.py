@@ -288,8 +288,12 @@ def collide_static(xp: jnp.ndarray, x0: jnp.ndarray, colliders: Colliders,
         xp = xp + jnp.where(contact[:, None], fr, 0.0)
 
     # boxes (static unroll — box count is small and fixed)
+    has_quat = colliders.box_quat.shape[0] == colliders.box_center.shape[0]
     for b in range(colliders.box_center.shape[0]):
         R = _yaw_rot(colliders.box_yaw[b])                     # (3,3)
+        if has_quat:
+            # full orientation composed on yaw (types.py box_quat)
+            R = R @ _quat_to_mat(colliders.box_quat[b][None])[0]
         ctr = colliders.box_center[b]
         p_local = (xp - ctr) @ R                               # world->box
         sdf, n_local = _box_sdf_normal(p_local, colliders.box_half[b])

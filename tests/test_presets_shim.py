@@ -97,3 +97,31 @@ def test_set_phases_and_box_growth():
     assert states.shape == (9, 14)
     pyflex.step()
     pyflex.clean()
+
+
+def test_shape_state_quat_roundtrip():
+    """Full-quaternion shape states survive set_shape_states ->
+    get_shape_states (box_quat path, core/types.py): the reference's
+    tilting-container scripts read back the pose they set
+    (PyFleX/bindings/pyflex.cpp get_shape_states)."""
+    from dyn_res_pile_manip_tpu import pyflex_shim as pyflex
+
+    pyflex.init(True)
+    pyflex.set_scene(3, np.array([1, -9.8, 0.0, 0.1, 0.0,
+                                  0.05, 0.35, 0.05, 0.0]))
+    q0 = np.array([0.0, 0.0, 0.0, 1.0])
+    pyflex.add_box(np.array([0.2, 0.05, 0.2]), np.array([2.0, 0.5, 0.0]), q0)
+    a = np.deg2rad(65.0)
+    q = np.array([np.sin(a / 2) * 0.6, np.sin(a / 2) * 0.8, 0.0,
+                  np.cos(a / 2)])                     # xyzw, mixed axis
+    st = np.zeros((1, 14))
+    st[0, :3] = st[0, 3:6] = [2.0, 0.6, 0.1]
+    st[0, 6:10] = st[0, 10:] = q
+    pyflex.set_shape_states(st)
+    back = pyflex.get_shape_states()
+    assert back.shape == (1, 14)
+    assert np.allclose(back[0, :3], [2.0, 0.6, 0.1], atol=1e-6)
+    d = min(np.abs(back[0, 6:10] - q).max(),
+            np.abs(back[0, 6:10] + q).max())          # sign ambiguity
+    assert d < 1e-5
+    pyflex.clean()

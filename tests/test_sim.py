@@ -197,3 +197,51 @@ def test_force_field_impulse():
         mode=force_fields.MODE_VELOCITY_CHANGE)
     vs = np.asarray(st.v)[np.asarray(st.active)]
     assert (np.linalg.norm(vs, axis=1) > 1.0).all()
+
+
+def test_tilted_box_collider_deflects_particles():
+    """Full-quat box orientation (types.py box_quat, composed on yaw):
+    grains dropped onto a 45-degree-tilted box slide off along the tilt's
+    downhill direction; the same box untilted supports them on top.
+    Enables the reference's tilting-container choreography
+    (PyFleX/bindings/examples/test_FluidPour.py pourer angle sweep)."""
+    n = 27
+    rng = np.random.default_rng(2)
+    from dyn_res_pile_manip_tpu.core import geometry
+    pts = geometry.grid_block_particles(
+        np.array([-0.12, 1.2, -0.12]), (3, 3, 3), 0.0751, rng, 0.0)
+    cap = 256
+    x = np.zeros((cap, 3), np.float32)
+    x[:n] = pts
+    x[n:] = [0, -1000, 0]
+    from dyn_res_pile_manip_tpu.core.types import SimParams, SimState
+    state = SimState(
+        x=jnp.asarray(x), v=jnp.zeros((cap, 3), jnp.float32),
+        invm=jnp.asarray(np.where(np.arange(cap) < n, 1.0, 0.0
+                                  ).astype(np.float32)),
+        group=jnp.full((cap,), -1, jnp.int32),
+        active=jnp.asarray(np.arange(cap) < n),
+        rest=jnp.zeros((cap, 3), jnp.float32),
+        group_quat=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (8, 1)))
+    sp = SimParams.granular(0.075)
+    lower, dims = pbd.default_grid(4.0)
+    col = Colliders.ground_only(num_boxes=1)
+
+    def run(quat):
+        colt = col.with_box(0, (0.0, 0.6, 0.0), (0.45, 0.05, 0.45),
+                            quat=quat)
+        st = state
+        for _ in range(90):
+            st = pbd.step_frame(st, sp, colt, lower, dims)
+        return np.asarray(st.x)[:n]
+
+    flat = run((1.0, 0.0, 0.0, 0.0))
+    a = np.pi / 4
+    tilted = run((np.cos(a / 2), 0.0, 0.0, np.sin(a / 2)))  # 45 deg about z
+    assert not np.isnan(flat).any() and not np.isnan(tilted).any()
+    # flat box supports the grains near its top face (y ~ 0.65 + radius)
+    assert flat[:, 1].min() > 0.55
+    # tilted box sheds them: they slide downhill (-x for +z-axis tilt)
+    # and end at ground level
+    assert tilted[:, 1].min() < 0.2
+    assert tilted[:, 0].mean() < flat[:, 0].mean() - 0.2
