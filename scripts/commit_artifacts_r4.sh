@@ -30,7 +30,10 @@ while true; do
     fi
   done
 
-  GNN=$(ls -t data/gnn_dyn_model/*/net_best.ckpt 2>/dev/null | head -1)
+  # timestamped training dirs ONLY (2*): data/gnn_dyn_model/r2_labeler
+  # holds the r2 bytes the labelers load — copying it here would
+  # recreate the round-3 masquerade (VERDICT r3 weak #3)
+  GNN=$(ls -t data/gnn_dyn_model/2*/net_best.ckpt 2>/dev/null | head -1)
   if [ -n "$GNN" ] && ! cmp -s "$GNN" assets/r4/gnn_r4.ckpt; then
     mkdir -p assets/r4
     cp "$GNN" assets/r4/gnn_r4.ckpt
