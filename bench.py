@@ -109,9 +109,9 @@ def bench_sim_render():
         def body(carry, i):
             st, cache, acc = carry
             # production rebuild cadence (env _run_frames: 16-frame
-            # heartbeat + displacement trigger; cache_stale is
-            # translation-aware, so the uniform free-fall phase reuses
-            # its cache and rebuilds fire on impact)
+            # heartbeat + absolute-displacement trigger; see
+            # pbd.cache_stale for why the round-3 translation-aware
+            # variant was reverted)
             st, cache = jax.lax.cond(
                 ((i % 16) == 0) | pbd.cache_stale(st, sp, cache),
                 lambda: pbd.build_cache(st, sp,

@@ -447,21 +447,24 @@ class PlannerGD:
             if k[1:] == key[1:] and abs(k[0] - key[0]) <= 60:
                 self._iter_ms[key] = ms
                 return ms
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_fn(5))
-        warm = time.perf_counter() - t0          # includes compile
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_fn(5))
-        t5 = time.perf_counter() - t0
+        def timed(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run_fn(n))
+            return time.perf_counter() - t0
+
         # slope between two iteration counts cancels the per-dispatch
         # overhead (the axon tunnel round-trip alone is ~10 ms/iter when
         # amortized over only 5 iterations) and the in-jit final reward
         # eval; n=15 sits on the budget snap grid so this compile is
-        # reused by short time-budgeted runs
-        jax.block_until_ready(run_fn(15))        # compile
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_fn(15))
-        t15 = time.perf_counter() - t0
+        # reused by short time-budgeted runs. Min-of-3 per size: a
+        # single-sample slope is noise-dominated through the tunnel —
+        # one inflated t5 produced the round-3 6.4 ms/iter outlier
+        # (BENCH_r03, a 4x error vs the idle-chip repeat value of
+        # ~27 ms/iter). The min strips one-sided latency spikes.
+        timed(5)                                 # compile
+        t5 = min(timed(5) for _ in range(3))
+        timed(15)                                # compile
+        t15 = min(timed(15) for _ in range(3))
         ms = (t15 - t5) * 1000.0 / 10
         if not ms > 0:                           # timing noise floor
             ms = t15 * 1000.0 / 15

@@ -884,26 +884,19 @@ def build_cache(state: SimState, params: SimParams,
 
 def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
     """True when any particle moved more than half the collision-margin
-    slack since the cache was built, measured RELATIVE to the mean
-    displacement of the active set (pairs approach from both sides, so
-    each side gets half the slack).
-
-    The relative measure is exact, not a heuristic: a uniform translation
-    shifts every sort key by the same amount, so slot-window coverage and
-    pair gaps are invariant — only *relative* motion can bring a
-    non-window pair into contact range. A free-falling pile (scene reset,
-    the drop benchmark) therefore reuses its cache through the whole fall
-    and rebuilds on impact, when relative motion actually appears.
-    Static/kinematic colliders are unaffected (they are solved
-    analytically per frame, not through the cache)."""
+    slack since the cache was built (pairs approach from both sides, so
+    each side gets half the slack). Absolute displacement, not relative
+    to the active set's mean shift: the round-3 translation-aware
+    variant (rebuild only on motion relative to the mean, so free-fall
+    reuses one cache) measured 45% SLOWER on the production 19.3k push
+    (10.85 -> 7.47 ms/frame, idle-chip bisect logs/bisect_push_r4.json)
+    and 70% slower on the settle tail (2.91 -> 1.72) — deferring
+    rebuilds also defers active-set re-tiering, so frames run on stale,
+    too-large prefix tiers. The free-fall saving it bought on the 4k
+    drop was ~6%. See PERFORMANCE.md round-4 bisect notes."""
     x_build = cache["x_build"]
-    act = state.active
-    d = jnp.where(act[:, None], state.x - x_build, 0.0)
-    n = jnp.maximum(jnp.sum(act.astype(jnp.float32)), 1.0)
-    shift = jnp.sum(d, axis=0) / n
-    disp = jnp.max(jnp.where(act[:, None], jnp.abs(d - shift[None, :]),
-                             0.0))
-    return disp > 0.5 * params.particle_collision_margin
+    d = jnp.where(state.active[:, None], jnp.abs(state.x - x_build), 0.0)
+    return jnp.max(d) > 0.5 * params.particle_collision_margin
 
 
 def resolve_pallas(state: SimState) -> bool:

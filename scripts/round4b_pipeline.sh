@@ -59,6 +59,20 @@ for f in /tmp/datagen_r4_*.pid; do
 done
 sleep 10
 
+# don't let a tunnel outage burn the training timeout in backend init
+probe() {
+  timeout 90 env PYTHONPATH=/root/.axon_site python -c \
+    "import jax.numpy as j; print(float(j.ones(4).sum()))" >/dev/null 2>&1
+}
+until probe; do
+  echo "$(date -u +%H:%M:%S) tunnel down; waiting before training"
+  sleep 120
+done
+while [ -f /tmp/r4_bisect_running ]; do
+  echo "$(date -u +%H:%M:%S) bisect window active; deferring training"
+  sleep 120
+done
+
 N=$(count_complete)
 echo "$(date -u +%H:%M:%S) training on $N complete episodes ($TRAIN_CFG, timeout ${TRAIN_TIMEOUT}s)"
 env PYTHONPATH=/root/.axon_site:/root/repo \
