@@ -1,0 +1,57 @@
+"""Regression lock for the round-4 staleness revert (PERFORMANCE.md
+"Round-4: the r3 push regression"): `pbd.cache_stale` must measure
+ABSOLUTE displacement. The round-3 translation-aware variant (relative
+to the active set's mean shift) returned False under uniform
+translation, deferring rebuilds — and with them active-set re-tiering —
+which cost 45% on the 19.3k push and 70% on the settle tail
+(logs/bisect_push_r4.json)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dyn_res_pile_manip_tpu.env import scene as scene_lib
+from dyn_res_pile_manip_tpu.sim import pbd
+
+pytestmark = pytest.mark.quick
+
+GS = 24.0
+TINY_CARROTS = np.array([
+    0.36, 0.36, -1.2, 0.5, -1.2, 1.0, 0.9, 1.0,
+    4, 10.0, 20.0, 2, 4, 2, 0.72, 0.0, -1, -1, -1, 0.0])
+
+
+@pytest.fixture(scope="module")
+def built():
+    state, sp, _ = scene_lib.set_scene(
+        22, TINY_CARROTS, seed=0, capacity_multiple=256, group_multiple=32)
+    col = scene_lib.make_colliders_with_walls(GS)
+    st, cache = pbd.build_cache(state, sp, colliders=col)
+    return st, sp, cache
+
+
+def test_fresh_cache_not_stale(built):
+    st, sp, cache = built
+    assert not bool(pbd.cache_stale(st, sp, cache))
+
+
+def test_small_motion_not_stale(built):
+    st, sp, cache = built
+    eps = 0.2 * sp.particle_collision_margin
+    moved = st.replace(x=st.x + jnp.array([eps, 0.0, 0.0]))
+    assert not bool(pbd.cache_stale(moved, sp, cache))
+
+
+def test_uniform_translation_is_stale(built):
+    # the regression: a free-fall-style uniform shift of every active
+    # particle MUST trigger a rebuild (re-tiering rides on rebuilds)
+    st, sp, cache = built
+    shift = 1.1 * 0.5 * sp.particle_collision_margin
+    moved = st.replace(x=st.x + jnp.array([0.0, -shift, 0.0]))
+    assert bool(pbd.cache_stale(moved, sp, cache))
+
+
+def test_single_particle_motion_is_stale(built):
+    st, sp, cache = built
+    shift = 2.0 * sp.particle_collision_margin
+    x = st.x.at[0, 0].add(shift)
+    assert bool(pbd.cache_stale(st.replace(x=x), sp, cache))
