@@ -39,6 +39,18 @@ class DatasetResRgr:
         self.state_h = config["train_res_cls"]["state_h"]
         self.state_w = config["train_res_cls"]["state_w"]
         self.model_type = config["train_res_cls"]["model_type"]
+        # Dihedral-8 augmentation (train phase only, opt-in): the optimal
+        # resolution is invariant under rotations/flips of the workspace,
+        # and every input channel (masks, distance transforms, exclusions)
+        # is equivariant — so the label passes through unchanged. This is
+        # a TPU-repo extra over the reference (no augmentation in
+        # train_res_rgr.py): our labeled set is ~5% of the reference's
+        # 2760 scenes (config/mpc/config.yaml:64), and the 100M-param FC
+        # head memorizes 125 raw scenes within ~20 epochs.
+        self.augment = (phase == "train"
+                        and bool(config["train_res_cls"].get("augment")))
+        self._aug_rng = np.random.default_rng(
+            config["train_res_cls"].get("random_seed", 0))
 
     def __len__(self):
         return self.n_episode
@@ -50,6 +62,12 @@ class DatasetResRgr:
         goal_img = read_color(os.path.join(self.data_dir, f"{i}/goal.png")
                               )[..., 0] / 255.0
         x = build_input(init_img, goal_img, self.state_h, self.state_w)
+        if self.augment:
+            k = int(self._aug_rng.integers(8))
+            x = np.rot90(x, k % 4, axes=(0, 1))
+            if k >= 4:
+                x = x[:, ::-1]
+            x = np.ascontiguousarray(x)
         opt_den = np.load(os.path.join(self.data_dir, f"{i}/opt_den.npy")).reshape(-1)[:1]
         if self.model_type == "classifier":
             target = int(np.nonzero(

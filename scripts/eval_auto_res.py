@@ -22,6 +22,13 @@ from dyn_res_pile_manip_tpu.utils.imaging import gen_goal_shape, gt_rewards
 FG = 0.599 / 0.8
 
 
+def _dump(path, results, summary=None):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"results": results, "summary": summary}, f, indent=2)
+    os.replace(tmp, path)
+
+
 def run_one(env, model, subgoal, n_mpc, n_sample, particle_num, auto,
             res_rgr, seed):
     env.seed(seed)
@@ -91,7 +98,14 @@ def main():
                            "dens": [int(d) for d in dens]}
             print(json.dumps({"scene": s, "goal": char, "run": label,
                               **runs[label]}), flush=True)
+            # checkpoint partial results after EVERY run: the end-of-round
+            # chip guard may kill this eval mid-flight, and a partial A/B
+            # is still evidence (the watcher commits results/r4 wholesale)
+            _dump(args.out, results + [{"scene": s, "goal": char,
+                                        "runs": dict(runs),
+                                        "partial": True}])
         results.append({"scene": s, "goal": char, "runs": runs})
+        _dump(args.out, results)
 
     summary = {}
     for label in results[0]["runs"]:
@@ -99,8 +113,7 @@ def main():
             [r["runs"][label]["improve"] for r in results]))
     print("summary (mean gt improvement, higher better):",
           json.dumps(summary))
-    with open(args.out, "w") as f:
-        json.dump({"results": results, "summary": summary}, f, indent=2)
+    _dump(args.out, results, summary)
 
 
 if __name__ == "__main__":

@@ -163,6 +163,42 @@ def test_res_rgr_pipeline(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_res_rgr_dihedral_augmentation(tmp_path):
+    """Train-phase dihedral-8 augmentation permutes pixels but never the
+    label; valid phase stays deterministic (our extra over the reference's
+    train_res_rgr.py — the labeled set is ~5% of its 2760 scenes)."""
+    from dyn_res_pile_manip_tpu.datasets.dataset_res_rgr import DatasetResRgr
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        d = os.path.join(root, str(i))
+        os.makedirs(d)
+        img = (rng.random((120, 120)) > 0.7).astype(np.uint8) * 255
+        write_color(os.path.join(d, "init.png"),
+                    img[..., None].repeat(3, -1))
+        write_color(os.path.join(d, "goal.png"),
+                    img[::-1][..., None].repeat(3, -1))
+        np.save(os.path.join(d, "opt_den.npy"), np.array([[50.0 + i]]))
+        np.save(os.path.join(d, "opt_y.npy"), np.array([[-2.0]]))
+    cfg = load_config(overrides={"train_res_cls": {
+        "num_data": 2, "train_valid_ratio": 0.5, "state_h": 64,
+        "state_w": 64, "augment": True}})
+    ds = DatasetResRgr(root, cfg, "train")
+    assert ds.augment
+    draws = [ds[0]["input_img"] for _ in range(6)]
+    # same multiset of pixels (pure permutation), label untouched
+    for x in draws:
+        assert x.shape == (64, 64, 6)
+        np.testing.assert_allclose(np.sort(x, axis=None),
+                                   np.sort(draws[0], axis=None))
+    assert any(not np.array_equal(x, draws[0]) for x in draws[1:])
+    assert all(float(ds[0]["optimal_den"][0]) == 50.0 for _ in range(3))
+    dsv = DatasetResRgr(root, cfg, "valid")
+    assert not dsv.augment
+    assert np.array_equal(dsv[0]["input_img"], dsv[0]["input_img"])
+
+
 def test_gp_opt_minimizes():
     from sklearn.gaussian_process import GaussianProcessRegressor
     from sklearn.gaussian_process.kernels import Matern, WhiteKernel
