@@ -126,6 +126,65 @@ def test_prefix_branch_engages():
         pbd.A_TIERS = old
 
 
+def test_12288_tier_parity_at_production_capacity():
+    """The 12288 prefix tier, exercised at the PRODUCTION capacity
+    (19456 — the 19.4k push scenes), matches the full-body solve.
+
+    The small-capacity tier tests monkeypatch A_TIERS, so `_branch_plan`
+    filters 12288 out and the real branch never compiles there (ADVICE
+    r3). Here a pre-slept 150x128 resting monolayer with a 89x89 mover
+    block yields ~11.4k candidates — inside (8192, 12288], so the rebuild
+    must select the 12288 branch — and six frames under the prefix solve
+    reproduce the full solve (measured bit-exact on CPU; the frozen path
+    is bit-exact by design, the awake path is the same program on a
+    prefix slice). ~3 min on a cold 1-core CPU host (one 19456-row
+    switch compile); full tier only, not `-m quick`."""
+    cap, nx, nz = 19456, 150, 128
+    sp = SimParams.granular(radius=0.075)
+    gx, gz = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+    n = nx * nz
+    pos = np.zeros((cap, 3), np.float32)
+    pos[:n, 0] = (gx.ravel() - nx / 2) * 0.165   # > contact distance:
+    pos[:n, 2] = (gz.ravel() - nz / 2) * 0.165   # each rests on ground alone
+    pos[:n, 1] = float(sp.collision_distance)
+    v = np.zeros((cap, 3), np.float32)
+    movers = ((np.abs(gx.ravel() - nx // 2) < 45)
+              & (np.abs(gz.ravel() - nz // 2) < 45))
+    v[:n][movers] = np.array([1e-3, 0.0, 0.0], np.float32)
+
+    def fresh():
+        return SimState(
+            x=jnp.asarray(pos), v=jnp.asarray(v),
+            invm=jnp.where(jnp.arange(cap) < n, 0.2, 0.0),
+            group=jnp.full((cap,), -1, jnp.int32),
+            active=jnp.arange(cap) < n,
+            rest=jnp.zeros((cap, 3)),
+            group_quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (1, 1)),
+            slept=jnp.ones((cap,), bool))
+
+    col = Colliders.ground_only(num_boxes=1)
+
+    def run(active_set):
+        st, cache, sels = fresh(), None, []
+        for i in range(6):
+            if i % 2 == 0:
+                st, cache = pbd.build_cache(st, sp, colliders=col,
+                                            active_set=active_set)
+                sels.append(int(cache["sel"]))
+            st = pbd._step_sorted(st, sp, col, cache, use_pallas=False)
+        return pbd.unsort_state(st), sels
+
+    n_c = int(pbd.wake_masks(fresh(), sp, None)[1].sum())
+    assert 8192 < n_c <= 12288, n_c
+    a, sels_a = run(True)
+    b, _ = run(False)
+    assert sels_a[0] == pbd._branch_plan(cap).index(12288)
+    act = np.asarray(fresh().active)
+    xa, xb = np.asarray(a.x)[act], np.asarray(b.x)[act]
+    assert not np.isnan(xa).any() and not np.isnan(xb).any()
+    np.testing.assert_allclose(xa, xb, atol=1e-5)
+
+
 def test_fresh_scene_falls():
     """slept=None scenes must not freeze mid-air: everything integrates."""
     st, sp = two_piles(seed=3)
