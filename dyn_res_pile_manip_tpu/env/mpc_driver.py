@@ -111,6 +111,27 @@ def _sim_verify(env, out, action_seq_mpc, k, subgoal, cur_cost=None,
     return best[1], best[3]
 
 
+def _write_progress(i, n_mpc, rewards, gt_costs, particle_den_seq):
+    """Atomic per-push progress checkpoint, enabled by MPC_PROGRESS_JSON=
+    <path>. Closed-loop runs are 40-80 min on the chip and end-of-round
+    watchers kill by deadline; a crash or kill must not lose the per-push
+    gt-cost trajectory (round-3's regressor evidence died exactly this
+    way, logs/post_labeling.log)."""
+    path = os.environ.get("MPC_PROGRESS_JSON")
+    if not path:
+        return
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"pushes_done": i + 1, "n_mpc": n_mpc,
+                   "rewards": [float(r) for r in rewards[:i + 2]],
+                   "gt_costs": [float(c) for c in gt_costs[:i + 2]],
+                   "particle_den_seq": [int(d) for d in particle_den_seq],
+                   "partial": i + 1 < n_mpc}, f)
+    os.replace(tmp, path)
+
+
 def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
                       n_look_ahead=1, n_sample=100, n_update_iter=100,
                       gd_loop=1, particle_num=50, mpc_type="GD",
@@ -260,6 +281,7 @@ def step_subgoal_ptcl(env, subgoal, model_dy, init_pos=None, n_mpc=30,
         print("rewards: {}".format(rewards))
         print("gt_costs: {}".format(np.array2string(gt_costs, precision=4)))
         print()
+        _write_progress(i, n_mpc, rewards, gt_costs, particle_den_seq)
     return {"rewards": rewards, "gt_costs": gt_costs,
             "raw_obs": raw_obs, "states": states,
             "actions": actions, "states_pred": states_pred,
