@@ -8,11 +8,15 @@
 # Every 15 minutes:
 #   1. each COMPLETE GP-labeled scene (opt_den.npy) from any
 #      data/res_rgr_data_* tree -> assets/r2/res_rgr_data_r2/<scene>
-#   2. the NEWEST data/gnn_dyn_model/*/net_best.ckpt -> assets/r4/gnn_r4.ckpt
+#   2. the NEWEST data/gnn_dyn_model/*/net_best.ckpt -> assets/$TAG/gnn_${TAG}.ckpt
 #      (+ config.yaml / log.txt when present, but never required)
 #   3. the NEWEST data/res_rgr_model/*/net_best_dy.ckpt -> assets/r4/
 # Launch: nohup sh scripts/commit_artifacts_r4.sh > logs/commit_artifacts_r4.log 2>&1 &
 cd "$(dirname "$0")/.."
+
+# TAG selects the assets/<TAG>/ destination (round-5 reuses this watcher
+# with TAG=r5; the r5 pipeline's warm-start dir is in the GNN glob below)
+TAG=${ASSETS_TAG:-r4}
 
 while true; do
   CHANGED=0
@@ -33,28 +37,28 @@ while true; do
   # timestamped training dirs ONLY (2*): data/gnn_dyn_model/r2_labeler
   # holds the r2 bytes the labelers load — copying it here would
   # recreate the round-3 masquerade (VERDICT r3 weak #3)
-  GNN=$(ls -t data/gnn_dyn_model/2*/net_best.ckpt 2>/dev/null | head -1)
-  if [ -n "$GNN" ] && ! cmp -s "$GNN" assets/r4/gnn_r4.ckpt; then
-    mkdir -p assets/r4
-    cp "$GNN" assets/r4/gnn_r4.ckpt
+  GNN=$(ls -t data/gnn_dyn_model/2*/net_best.ckpt data/gnn_dyn_model/r5_warm/net_best.ckpt 2>/dev/null | head -1)
+  if [ -n "$GNN" ] && ! cmp -s "$GNN" assets/$TAG/gnn_${TAG}.ckpt; then
+    mkdir -p assets/$TAG
+    cp "$GNN" assets/$TAG/gnn_${TAG}.ckpt
     D=$(dirname "$GNN")
-    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/r4/gnn_r4_config.yaml
-    [ -f "$D/log.txt" ] && cp "$D/log.txt" assets/r4/gnn_r4_train_log.txt
+    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/$TAG/gnn_${TAG}_config.yaml
+    [ -f "$D/log.txt" ] && cp "$D/log.txt" assets/$TAG/gnn_${TAG}_train_log.txt
     CHANGED=1
   fi
 
   RGR=$(ls -t data/res_rgr_model/*/net_best_dy.ckpt 2>/dev/null | head -1)
-  if [ -n "$RGR" ] && ! cmp -s "$RGR" assets/r4/res_rgr_r4.ckpt; then
-    mkdir -p assets/r4
-    cp "$RGR" assets/r4/res_rgr_r4.ckpt
+  if [ -n "$RGR" ] && ! cmp -s "$RGR" assets/$TAG/res_rgr_${TAG}.ckpt; then
+    mkdir -p assets/$TAG
+    cp "$RGR" assets/$TAG/res_rgr_${TAG}.ckpt
     D=$(dirname "$RGR")
-    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/r4/res_rgr_r4_config.yaml
+    [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/$TAG/res_rgr_${TAG}_config.yaml
     CHANGED=1
   fi
 
   if [ "$CHANGED" = 1 ]; then
     git add assets/ >/dev/null 2>&1
-    git commit -q -m "Checkpoint trained artifacts to assets (r4 watcher)" || true
+    git commit -q -m "Checkpoint trained artifacts to assets ($TAG watcher)" || true
     echo "$(date -u +%H:%M:%S) committed new artifacts"
   else
     echo "$(date -u +%H:%M:%S) no new artifacts"
