@@ -466,10 +466,13 @@ class FlexEnv:
                           gd_loop=1, particle_num=50, mpc_type="GD",
                           funnel_dist=None, action_seq_mpc_init=None,
                           action_label_seq_mpc_init=None,
-                          time_lim=float("inf"), auto_particle_r=False):
+                          time_lim=float("inf"), auto_particle_r=False,
+                          res_rgr=None):
         """Closed-loop dynamic-resolution MPC (flex_env.py:953-1133).
         Implemented in env/mpc_driver.py to keep env/planner layers apart
-        (the reference couples them; SURVEY.md flags this as a wart)."""
+        (the reference couples them; SURVEY.md flags this as a wart).
+        res_rgr: a pre-loaded resolution regressor (else the driver loads
+        the config's mpc.res_sel checkpoint when auto_particle_r)."""
         from .mpc_driver import step_subgoal_ptcl as _driver
         return _driver(
             self, subgoal, model_dy, init_pos=init_pos, n_mpc=n_mpc,
@@ -479,4 +482,5 @@ class FlexEnv:
             funnel_dist=funnel_dist,
             action_seq_mpc_init=action_seq_mpc_init,
             action_label_seq_mpc_init=action_label_seq_mpc_init,
-            time_lim=time_lim, auto_particle_r=auto_particle_r)
+            time_lim=time_lim, auto_particle_r=auto_particle_r,
+            res_rgr=res_rgr)
