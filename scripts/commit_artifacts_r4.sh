@@ -21,17 +21,19 @@ TAG=${ASSETS_TAG:-r4}
 while true; do
   CHANGED=0
 
-  for d in data/res_rgr_data_r2/*/; do
-    [ -d "$d" ] || continue
-    s=$(basename "$d")
-    [ -f "$d/opt_den.npy" ] || continue
-    dst="assets/r2/res_rgr_data_r2/$s"
-    if [ ! -f "$dst/opt_den.npy" ]; then
-      mkdir -p "$dst"
-      cp "$d"/*.npy "$dst/" 2>/dev/null
-      cp "$d"/*.png "$dst/" 2>/dev/null
-      CHANGED=1
-    fi
+  for tree in r2 r5; do
+    for d in data/res_rgr_data_$tree/*/; do
+      [ -d "$d" ] || continue
+      s=$(basename "$d")
+      [ -f "$d/opt_den.npy" ] || continue
+      dst="assets/$tree/res_rgr_data_$tree/$s"
+      if [ ! -f "$dst/opt_den.npy" ]; then
+        mkdir -p "$dst"
+        cp "$d"/*.npy "$dst/" 2>/dev/null
+        cp "$d"/*.png "$dst/" 2>/dev/null
+        CHANGED=1
+      fi
+    done
   done
 
   # timestamped training dirs ONLY (2*): data/gnn_dyn_model/r2_labeler

@@ -6,8 +6,9 @@
 #   0      launch wipe-proof artifact watcher + 4 datagen workers
 #          (extend data/gnn_dyn_data_custom toward 1000 episodes,
 #          --skip-existing; survives tunnel outages with backoff) +
-#          2 GP labelers (scenes 201-300, SAME r2_labeler model as all
-#          committed labels — label consistency)
+#          2 GP labelers writing a FRESH label set (data/res_rgr_data_r5)
+#          under the committed r4 GNN — round-4's A/B showed labels must
+#          be optimal under the deployed model, not a stale one
 #   55%    stop datagen; train the GNN WARM-STARTED from assets/r4
 #          (net_best valid 0.033 on 386 episodes) on the larger set;
 #          promote + commit to assets/r5
@@ -57,14 +58,19 @@ for off in 0 1 2 3; do
   echo $! > "/tmp/datagen_r5_$off.pid"
   sleep "${STAGGER:-150}"
 done
+# labels must be optimal UNDER THE DEPLOYED MODEL: round-4's A/B showed
+# the r2-labeled regressor mispredicting for the r4 GNN (auto lost to
+# fixed-N). Fresh label set, labeled by the committed r4 GNN.
+mkdir -p data/gnn_dyn_model/r5_labeler
+cp assets/r4/gnn_r4.ckpt data/gnn_dyn_model/r5_labeler/net_best.ckpt
 for i in 0 1; do
-  BASE=$((201 + i * 50))
+  BASE=$((i * 100))
   nohup sh -c "
     tries=0
     until env PYTHONPATH=/root/.axon_site:/root/repo \
       python -m dyn_res_pile_manip_tpu.datagen.res_rgr_data \
-      --config config/data_gen/res_rgr_r4.yaml --dir data/res_rgr_data_r2 \
-      --base-scene $BASE --n-scenes 50 --seed \$((7100 + $i * 100 + tries)); do
+      --config config/data_gen/res_rgr_r5.yaml --dir data/res_rgr_data_r5 \
+      --base-scene $BASE --n-scenes 100 --seed \$((7100 + $i * 100 + tries)); do
       tries=\$((tries + 1)); [ \$tries -gt 60 ] && break
       echo \"labeler $i retry \$tries\"; sleep 180
     done" > "logs/gp_label_r5_$i.log" 2>&1 &
@@ -130,9 +136,10 @@ for f in /tmp/gp_r5_*.pid; do
   for c in $(ps -o pid= --ppid "$sup" 2>/dev/null); do kill "$c" 2>/dev/null; done
   kill "$sup" 2>/dev/null; rm -f "$f"
 done
-NUM=$(ls data/res_rgr_data_r2 | wc -l)
-sed "s/num_data: .*/num_data: $NUM/" config/train/res_rgr_r4b.yaml \
-  > config/train/res_rgr_r5.yaml
+NUM=$(ls data/res_rgr_data_r5 | wc -l)
+sed -e "s/num_data: .*/num_data: $NUM/" \
+    -e "s#data_root: .*#data_root: data/res_rgr_data_r5#" \
+    config/train/res_rgr_r4b.yaml > config/train/res_rgr_r5.yaml
 env PYTHONPATH=/root/.axon_site:/root/repo timeout 3600 \
   python -m dyn_res_pile_manip_tpu.train.train_res_rgr \
   config/train/res_rgr_r5.yaml > logs/train_rgr_r5.log 2>&1 \
@@ -152,7 +159,9 @@ while [ ! -f /tmp/r5_modelonly_done ] && [ "$(date +%s)" -lt "$END_TS" ]; do
 done
 env PYTHONPATH=/root/.axon_site:/root/repo timeout 3300 \
   python scripts/eval_auto_res.py --scenes 3 --n-mpc 6 --fixed 20 90 \
-  --rgr-folder r5 --gnn-folder r5 --seed 777 \
+  --rgr-folder r5 --gnn-folder r5_labeler --seed 777 \
+  `# gnn matches the LABELER model: the regressor predicts the N that is` \
+  `# optimal under that dynamics model (round-4 lesson)` \
   --out results/r5/eval_auto_res_r5.json \
   > logs/eval_auto_res_r5.log 2>&1 || echo "A/B exited ($?)"
 git add results/r5 && git commit -q -m "Round-5 dynamic-resolution A/B" || true
