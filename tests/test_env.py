@@ -93,3 +93,19 @@ def test_sleep_skip_preserves_rest_state(env):
     st1 = env._settle(env.colliders, 64)
     np.testing.assert_allclose(np.asarray(st1.x), np.asarray(st0.x),
                                atol=5e-3)
+
+
+def test_step_subgoal_wrapper_forwards_all_driver_kwargs():
+    """FlexEnv.step_subgoal_ptcl is a thin forwarder to the decoupled
+    mpc_driver; every driver keyword must exist on the wrapper (the
+    round-4 auto-res A/B first crashed on a dropped `res_rgr` kwarg)."""
+    import inspect
+
+    from dyn_res_pile_manip_tpu.env import mpc_driver
+    from dyn_res_pile_manip_tpu.env.flex_env import FlexEnv
+
+    drv = inspect.signature(mpc_driver.step_subgoal_ptcl)
+    wrp = inspect.signature(FlexEnv.step_subgoal_ptcl)
+    drv_kw = set(drv.parameters) - {"env"}
+    wrp_kw = set(wrp.parameters) - {"self"}
+    assert drv_kw == wrp_kw, drv_kw ^ wrp_kw
