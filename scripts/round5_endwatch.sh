@@ -12,7 +12,14 @@ STOP_AT=${STOP_AT:-00:08}
 now=$(date +%s)
 stop_ts=$(date -u -d "$STOP_AT" +%s)
 [ "$stop_ts" -le "$now" ] && stop_ts=$((stop_ts + 86400))
-[ "$((stop_ts - now))" -gt 14400 ] && stop_ts=$((now + 60))
+# A STOP_AT more than 4h out is almost certainly a typo for this
+# short-session guard. Fail loudly instead of silently clamping to
+# "kill the fleet in 60s" (ADVICE r4 medium).
+if [ "$((stop_ts - now))" -gt 14400 ]; then
+  echo "ERROR: STOP_AT=$STOP_AT resolves $((stop_ts - now))s (>4h) away." >&2
+  echo "Refusing to run — pass a nearer STOP_AT or use round5_pipeline's endwatch." >&2
+  exit 1
+fi
 echo "sleeping $((stop_ts - now))s until $STOP_AT UTC"
 sleep $((stop_ts - now))
 
@@ -32,9 +39,12 @@ done
 sleep 10
 echo "$(date -u +%H:%M:%S) fleet stopped; bench preflight"
 
+# stderr goes to a separate .log so the .json stays one parseable line
+# (ADVICE r4 low: 2>&1 into the .json made it unparseable)
 env PYTHONPATH=/root/.axon_site:/root/repo timeout 1200 python bench.py \
-  > logs/bench_preflight_r5.json 2>&1 || echo "preflight exited ($?)"
+  > logs/bench_preflight_r5.json 2> logs/bench_preflight_r5.log \
+  || echo "preflight exited ($?)"
 tail -1 logs/bench_preflight_r5.json
-git add logs/bench_preflight_r5.json 2>/dev/null
+git add logs/bench_preflight_r5.json logs/bench_preflight_r5.log 2>/dev/null
 git commit -q -m "Idle-chip bench preflight (round-4 continuation)" || true
 echo "$(date -u +%H:%M:%S) endwatch done"

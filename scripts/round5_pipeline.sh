@@ -40,7 +40,11 @@ probe() {
 until probe; do echo "$(date -u +%H:%M:%S) tunnel down"; sleep 120; done
 echo "$(date -u +%H:%M:%S) tunnel up"
 
-nohup sh scripts/commit_artifacts_r4.sh > logs/commit_artifacts_r5.log 2>&1 &
+# ASSETS_TAG=r5 is REQUIRED: in round 4 this launch defaulted to TAG=r4
+# and the watcher clobbered assets/r4/res_rgr_r4.ckpt with r5-placeholder
+# bytes (ADVICE r4 high). The watcher is now also append-only via
+# promote_artifact.sh, so even a wrong tag can no longer destroy bytes.
+nohup env ASSETS_TAG=r5 sh scripts/commit_artifacts_r4.sh > logs/commit_artifacts_r5.log 2>&1 &
 echo $! > /tmp/watcher_r5.pid
 
 for off in 0 1 2 3; do
@@ -107,14 +111,20 @@ if [ -f "$CK" ]; then
   mkdir -p data/gnn_dyn_model/r5 assets/r5
   cp "$CK" data/gnn_dyn_model/r5/net_best.ckpt
   cp data/gnn_dyn_model/r5_warm/config.yaml data/gnn_dyn_model/r5/ 2>/dev/null
-  cp "$CK" assets/r5/gnn_r5.ckpt
+  echo "trained r5 (warm-started from r4) $(md5sum $CK)" \
+    > data/gnn_dyn_model/r5/PROVENANCE.txt
+  sh scripts/promote_artifact.sh "$CK" assets/r5/gnn_r5.ckpt
   cp data/gnn_dyn_model/r5_warm/log.txt assets/r5/gnn_r5_train_log.txt 2>/dev/null
-  git add assets/r5 && git commit -q -m \
+  git add assets/r5 assets/ckpts && git commit -q -m \
     "Ship round-5 GNN checkpoint (warm-started, $N episodes)" || true
 else
+  # Fallback keeps the closed-loop runnable but must never masquerade
+  # (round-4 continuation left r4 bytes here unmarked — VERDICT r4 weak #1)
   echo "no r5 ckpt; falling back to r4"
   mkdir -p data/gnn_dyn_model/r5
   cp assets/r4/gnn_r4.ckpt data/gnn_dyn_model/r5/net_best.ckpt
+  echo "FALLBACK: these are the r4 bytes $(md5sum assets/r4/gnn_r4.ckpt), NOT a trained r5 model" \
+    > data/gnn_dyn_model/r5/PROVENANCE.txt
 fi
 
 # ---- model-only closed loop with crash-safe progress
@@ -148,9 +158,9 @@ TD=$(ls -dt data/res_rgr_model/2*/ | head -1)
 if [ -n "$TD" ] && [ -f "$TD/net_best_dy.ckpt" ]; then
   mkdir -p data/res_rgr_model/r5 assets/r5
   cp "$TD/net_best_dy.ckpt" data/res_rgr_model/r5/net_best_dy.ckpt
-  cp "$TD/net_best_dy.ckpt" assets/r5/res_rgr_r5.ckpt
+  sh scripts/promote_artifact.sh "$TD/net_best_dy.ckpt" assets/r5/res_rgr_r5.ckpt
   cp "$TD/log.txt" assets/r5/res_rgr_r5_train_log.txt 2>/dev/null
-  git add assets/r5 config/train/res_rgr_r5.yaml && git commit -q -m \
+  git add assets/r5 assets/ckpts config/train/res_rgr_r5.yaml && git commit -q -m \
     "Ship round-5 resolution regressor ($NUM labels, dihedral aug)" || true
 fi
 
@@ -178,7 +188,7 @@ env PYTHONPATH=/root/.axon_site:/root/repo timeout 1500 \
   python scripts/roofline_r4.py --measure > logs/roofline_r5.txt 2>&1 || true
 cp logs/roofline_r5.json results/r5/ 2>/dev/null
 env PYTHONPATH=/root/.axon_site:/root/repo timeout 1200 python bench.py \
-  > logs/bench_preflight_r5.json 2>&1 || true
-git add results/r5 logs/bench_preflight_r5.json 2>/dev/null
+  > logs/bench_preflight_r5.json 2> logs/bench_preflight_r5.log || true
+git add results/r5 logs/bench_preflight_r5.json logs/bench_preflight_r5.log 2>/dev/null
 git commit -q -m "Round-5 idle-chip roofline + bench preflight" || true
 echo "$(date -u +%H:%M:%S) round-5 pipeline done"

@@ -72,11 +72,20 @@ def main():
     print("final rewards:", out["rewards"])
     print("gt_costs:", out["gt_costs"])
     import json
+    from dyn_res_pile_manip_tpu.utils.provenance import ckpt_provenance
+    res_cfg = config["mpc"].get("res_sel", {})
+    rgr_ckpt = os.path.join("data/res_rgr_model",
+                            str(res_cfg.get("model_folder", "r2")),
+                            "net_best_dy.ckpt")
     with open("visualize_mpc_result.json", "w") as f:
         json.dump({"rewards": [float(r) for r in out["rewards"]],
                    "gt_costs": [float(c) for c in out["gt_costs"]],
                    "particle_den_seq": [int(d) for d in
-                                        out["particle_den_seq"]]}, f)
+                                        out["particle_den_seq"]],
+                   # md5s of the exact bytes this run loaded — results
+                   # must map to committed artifacts (VERDICT r4 #1)
+                   "ckpts": ckpt_provenance(gnn=ckpt, res_rgr=rgr_ckpt),
+                   "config_path": cfg_path}, f)
 
 
 if __name__ == "__main__":
