@@ -73,7 +73,19 @@ def bench_mpc():
 
     run()   # compile + calibrate
     run()
-    ms_iter = planner._iter_ms[(N, n_batch, traj, 1, False)]
+    # Robust headline: median of 5 independent calibrations (each already
+    # min-of-3 per dispatch size). Two same-code bench runs 26 min apart
+    # disagreed by 40% (77k contended vs 114k idle — PERFORMANCE.md), so
+    # a single calibration is not evidence; the spread is recorded in
+    # extras so any residual disagreement is self-explaining.
+    key = (N, n_batch, traj, 1, False)
+    samples = []
+    for _ in range(5):
+        planner._iter_ms.pop(key, None)
+        run()
+        samples.append(planner._iter_ms[key])
+    ms_iter = float(np.median(samples))
+    bench_mpc.calibration_samples = [round(float(s), 2) for s in samples]
     return traj * n_batch / (ms_iter / 1000.0)
 
 
@@ -259,7 +271,39 @@ def bench_fluid():
     return n * frames / (time.perf_counter() - t0)
 
 
+def chip_contention():
+    """Other live python processes that could be sharing the chip (the
+    documented ±40% bench spread came from exactly this — PERFORMANCE.md
+    'calibrated-slope spread'). Best-effort /proc scan; never fails."""
+    import os
+    me = os.getpid()
+    others = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace").strip()
+            except OSError:
+                continue
+            if "python" in cmd and ("dyn_res_pile_manip" in cmd
+                                    or "visualize_mpc" in cmd
+                                    or "eval_auto_res" in cmd):
+                others.append(cmd[:80])
+    except OSError:
+        pass
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"concurrent_chip_procs": len(others),
+            "concurrent_cmds": others[:6], "loadavg_1m": load1}
+
+
 def main():
+    contention = chip_contention()
     mpc = bench_mpc()
     sim = bench_sim_render()
     sim_push, sim_tail = bench_sim_push()
@@ -285,6 +329,11 @@ def main():
             "pbf_dam_break_particle_steps_per_sec": round(float(fluid), 1),
             "ref_mpc_rollouts_per_sec_fitted": round(
                 REF_MPC_ROLLOUTS_PER_SEC, 1),
+            # robustness telemetry (VERDICT r4 #7): the headline is the
+            # median of these 5 calibrations; if two bench runs disagree,
+            # contention explains which one to trust
+            "mpc_ms_iter_calibrations": bench_mpc.calibration_samples,
+            "contention": contention,
         },
     }))
 

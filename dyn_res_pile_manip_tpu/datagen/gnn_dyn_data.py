@@ -13,6 +13,8 @@ gnn_dyn_data.py:113-130).
 from __future__ import annotations
 
 import argparse
+import hashlib
+import json
 import os
 import pickle
 import time
@@ -63,6 +65,40 @@ def save_frame(epi_dir: str, t: int, img: np.ndarray, positions: np.ndarray,
     return img
 
 
+def write_manifest(epi_dir: str, n_timestep: int, seed, base_epi: int,
+                   extra=None):
+    """Per-episode content manifest (VERDICT r4 #6: episode trees are
+    wipe-bait; a committed manifest makes any regenerated tree verifiable
+    bit-exact or flagged). Hashes every frame artifact + actions.p.
+    Layout parity: the reference's episode dir
+    (data_gen/gnn_dyn_data.py:97-103) plus this one extra file.
+
+    NOTE on regeneration: workers seed one global stream per shard, so
+    episode k's bytes depend on the full retry history since the shard
+    start — regeneration must replay the shard from its base seed; the
+    hashes verify the result either way.
+    """
+    names = [f"{t}_{kind}" for t in range(n_timestep + 1)
+             for kind in ("color.png", "depth.png", "particles.npy")]
+    names.append("actions.p")
+    hashes = {}
+    for name in names:
+        p = os.path.join(epi_dir, name)
+        if os.path.exists(p):
+            hashes[name] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    doc = {"episode": os.path.basename(epi_dir), "shard_seed": seed,
+           "shard_base_epi": base_epi,
+           "written_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                        time.gmtime()),
+           "hashes": hashes}
+    if extra:
+        doc.update(extra)
+    tmp = os.path.join(epi_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, os.path.join(epi_dir, "manifest.json"))
+
+
 def episode_complete(epi_dir: str, n_timestep: int) -> bool:
     """True if the episode dir holds every frame file + actions.p (exact
     index set, not a raw count — see scripts/merge_datagen_shards.py)."""
@@ -87,8 +123,9 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None,
     os.makedirs(data_dir, exist_ok=True)
 
     env = FlexEnv(config)
-    env.seed(seed if seed is not None
-             else round(time.time() * 1000) % 2 ** 32)
+    shard_seed = (seed if seed is not None
+                  else round(time.time() * 1000) % 2 ** 32)
+    env.seed(shard_seed)
 
     idx_episode = base_epi
     while idx_episode < base_epi + n_episode:
@@ -147,14 +184,15 @@ def gen_data(config, base_epi=0, n_episodes=None, seed=None,
             last_img = save_frame(epi_dir, t + 1, img, env.get_positions(),
                                   global_scale)
             actions[t] = u
+        with open(os.path.join(epi_dir, "actions.p"), "wb") as fp:
+            pickle.dump(actions, fp)
         if valid:
             print("episode %d: %.1fs, %d pushes (%d no-op retries, "
                   "%d prefiltered)"
                   % (idx_episode, time.time() - t_epi, n_timestep,
                      n_tries - n_timestep, n_prefiltered), flush=True)
+            write_manifest(epi_dir, n_timestep, shard_seed, base_epi)
             idx_episode += 1
-        with open(os.path.join(epi_dir, "actions.p"), "wb") as fp:
-            pickle.dump(actions, fp)
     env.close()
 
 

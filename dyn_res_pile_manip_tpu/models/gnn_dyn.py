@@ -104,26 +104,37 @@ class PropNetDiffDen(nn.Module):
                              precision=jax.lax.Precision.DEFAULT)
             return out.reshape(B, N, K, -1)
 
-        def gather_exact(x):
-            # f32 (B, N, F) -> f32 (B, N, K, F), exact to ~2^-16 relative:
-            # one-hot rows have one nonzero, so each einsum selects a bf16
-            # value exactly; hi+lo reassembles the f32 input.
-            if exact_hi:
-                out = jnp.einsum("bmn,bnf->bmf", R, x,
-                                 preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-                return out.reshape(B, N, K, -1)
-            hi = x.astype(cdt)
-            lo = (x - hi.astype(jnp.float32)).astype(cdt)
-            out = (jnp.einsum("bmn,bnf->bmf", R, hi,
-                              preferred_element_type=jnp.float32)
-                   + jnp.einsum("bmn,bnf->bmf", R, lo,
-                                preferred_element_type=jnp.float32))
-            return out.reshape(B, N, K, -1)
+        # ALL loop-invariant sender gathers (mask, attr, position) fused
+        # into ONE einsum over R instead of three/four separate ones — R
+        # is the dominant HBM operand at planner batch sizes (roofline:
+        # 14.2 GB/iter materialized vs 5.0 fused), so every extra read of
+        # it costs ~0.4 GB. Position selection stays exact: a one-hot row
+        # has one nonzero, so hi+lo bf16 planes reassemble f32 to ~2^-16
+        # relative before the offset subtraction (CLAUDE.md: this backend
+        # demotes f32 matmuls by default).
+        if exact_hi:
+            inv = jnp.concatenate(
+                [particle_mask[..., None], a_cur[..., None], s_cur], -1)
+            g = jnp.einsum("bmn,bnf->bmf", R, inv,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            g = g.reshape(B, N, K, 5)
+            mask_s, a_s, s_s = g[..., 0], g[..., 1:2], g[..., 2:5]
+        else:
+            s_hi = s_cur.astype(cdt)
+            s_lo = (s_cur - s_hi.astype(jnp.float32)).astype(cdt)
+            inv = jnp.concatenate(
+                [particle_mask[..., None], a_cur[..., None].astype(cdt),
+                 s_hi, s_lo], -1)
+            g = jnp.einsum("bmn,bnf->bmf", R, inv,
+                           preferred_element_type=jnp.float32)
+            g = g.reshape(B, N, K, 8)
+            mask_s, a_s = g[..., 0], g[..., 1:2]
+            s_s = g[..., 2:5] + g[..., 5:8]
 
         edge_w = (nbr_ok.astype(cdt)
                   * particle_mask[:, :, None]
-                  * gather_nbr(particle_mask[..., None])[..., 0])
+                  * mask_s.astype(cdt))
 
         dense = dict(dtype=cdt)
         a_cdt = a_cur.astype(cdt)
@@ -138,11 +149,9 @@ class PropNetDiffDen(nn.Module):
 
         # relation encoder: [attr_r(1), attr_s(1), offset(3), den(1)].
         # The offset is formed in f32 BEFORE casting: positions are large
-        # relative to inter-particle offsets.
-        s_rel = s_cur
-        a_s = gather_exact(a_cur[..., None])                  # (B,N,K,1)
-        s_s = gather_exact(s_rel)                             # (B,N,K,3)
-        offset = (s_rel[:, :, None, :] - s_s).astype(cdt)
+        # relative to inter-particle offsets. a_s/s_s come from the fused
+        # invariant gather above.
+        offset = (s_cur[:, :, None, :] - s_s).astype(cdt)
         r_in = jnp.concatenate([
             jnp.broadcast_to(a_cdt[:, :, None, None], (B, N, K, 1)),
             a_s.astype(cdt),

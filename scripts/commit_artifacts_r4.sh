@@ -61,6 +61,17 @@ while true; do
     CHANGED=1
   fi
 
+  # datagen episode ledger (VERDICT r4 #6): backfill manifests for
+  # episodes written by pre-manifest code, then merge into the committed
+  # append-only jsonl. Pure host work, never touches the chip.
+  if [ -d data/gnn_dyn_data_custom ]; then
+    NEWM=$(python scripts/collect_manifests.py --backfill \
+             >/dev/null 2>&1; \
+           python scripts/collect_manifests.py 2>/dev/null \
+             | sed -n 's/.*(+\([0-9]*\) new.*/\1/p')
+    [ -n "$NEWM" ] && [ "$NEWM" -gt 0 ] && CHANGED=1
+  fi
+
   if [ "$CHANGED" = 1 ]; then
     git add assets/ >/dev/null 2>&1
     git commit -q -m "Checkpoint trained artifacts to assets ($TAG watcher)" || true
