@@ -94,13 +94,20 @@ class PropNetDiffDen(nn.Module):
         # Sender-feature selection as a one-hot batched matmul: TPU gathers
         # are serial and slow, MXU matmuls are not. R plays the role of the
         # reference's Rs relation matrix (gnn_dyn.py:248-251) with fixed
-        # (B, N*K, N) shape; ONE materialization reused by every gather
-        # (it dominates traffic at planner batch sizes).
-        R = jax.nn.one_hot(nbr_idx.reshape(B, N * K), N, dtype=cdt)
+        # (B, N*K, N) shape — but it is REBUILT inside every einsum rather
+        # than materialized once: XLA fuses the iota-compare into the dot
+        # operand, so R never touches HBM (measured 1.25 vs 1.61 ms
+        # fwd+bwd per F=64 gather at the bench shape vs the shared
+        # tensor; a Pallas lane-gather sat between at 1.45 —
+        # scripts/profile_gather_variants.py).
+        idx_flat = nbr_idx.reshape(B, N * K)
+
+        def _R():
+            return jax.nn.one_hot(idx_flat, N, dtype=cdt)
 
         def gather_nbr(x):
             # x: (B, N, F) -> (B, N, K, F) sender features (compute dtype)
-            out = jnp.einsum("bmn,bnf->bmf", R, x.astype(cdt),
+            out = jnp.einsum("bmn,bnf->bmf", _R(), x.astype(cdt),
                              precision=jax.lax.Precision.DEFAULT)
             return out.reshape(B, N, K, -1)
 
@@ -115,7 +122,7 @@ class PropNetDiffDen(nn.Module):
         if exact_hi:
             inv = jnp.concatenate(
                 [particle_mask[..., None], a_cur[..., None], s_cur], -1)
-            g = jnp.einsum("bmn,bnf->bmf", R, inv,
+            g = jnp.einsum("bmn,bnf->bmf", _R(), inv,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
             g = g.reshape(B, N, K, 5)
@@ -126,7 +133,7 @@ class PropNetDiffDen(nn.Module):
             inv = jnp.concatenate(
                 [particle_mask[..., None], a_cur[..., None].astype(cdt),
                  s_hi, s_lo], -1)
-            g = jnp.einsum("bmn,bnf->bmf", R, inv,
+            g = jnp.einsum("bmn,bnf->bmf", _R(), inv,
                            preferred_element_type=jnp.float32)
             g = g.reshape(B, N, K, 8)
             mask_s, a_s = g[..., 0], g[..., 1:2]

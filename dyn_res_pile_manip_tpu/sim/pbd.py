@@ -869,6 +869,13 @@ def build_cache(state: SimState, params: SimParams,
 
     cache = {
         "x_build": state.x,
+        # full-tier flag for cache_stale: at the full prefix there is no
+        # smaller tier a deferred rebuild could miss, so staleness can be
+        # measured relative to the candidate set's mean shift (free-fall
+        # translation reuses one cache). Tiered builds keep the absolute
+        # rule — the r4 bisect showed deferring re-tiering costs 45% on
+        # the 19.3k push (logs/bisect_push_r4.json).
+        "full_tier": sel >= jnp.int32(len(a_tiers)),
         "wj": _window(wi_solve, 0.0, wmax),
         "wi_solve": wi_solve,
         "s": s_sorted,
@@ -892,11 +899,27 @@ def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
     (10.85 -> 7.47 ms/frame, idle-chip bisect logs/bisect_push_r4.json)
     and 70% slower on the settle tail (2.91 -> 1.72) — deferring
     rebuilds also defers active-set re-tiering, so frames run on stale,
-    too-large prefix tiers. The free-fall saving it bought on the 4k
-    drop was ~6%. See PERFORMANCE.md round-4 bisect notes."""
+    too-large prefix tiers. See PERFORMANCE.md round-4 bisect notes.
+
+    Round-5 refinement: when the cache was built at the FULL prefix tier
+    (cache["full_tier"]) there is no smaller tier a deferred rebuild
+    could have selected, so the translation-subtracted displacement is
+    used instead — pair coverage of the sorted windows is exactly
+    translation-invariant, and a coherently free-falling pile (the 4k
+    all-awake bench row, where rebuild-only cost was 1.45 of
+    2.86 ms/frame) reuses one cache through the fall. Impact breaks the
+    coherence and rebuilds resume; tiered builds keep the absolute rule,
+    so the r4 push regression cannot recur."""
     x_build = cache["x_build"]
-    d = jnp.where(state.active[:, None], jnp.abs(state.x - x_build), 0.0)
-    return jnp.max(d) > 0.5 * params.particle_collision_margin
+    act = state.active[:, None]
+    dx = jnp.where(act, state.x - x_build, 0.0)
+    thresh = 0.5 * params.particle_collision_margin
+    d_abs = jnp.max(jnp.abs(dx))
+    n_act = jnp.maximum(jnp.sum(state.active), 1).astype(jnp.float32)
+    shift = jnp.sum(dx, axis=0) / n_act
+    d_rel = jnp.max(jnp.abs(jnp.where(act, dx - shift[None, :], 0.0)))
+    full = cache.get("full_tier", jnp.bool_(False))
+    return jnp.where(full, d_rel, d_abs) > thresh
 
 
 def resolve_pallas(state: SimState) -> bool:

@@ -41,13 +41,32 @@ def test_small_motion_not_stale(built):
     assert not bool(pbd.cache_stale(moved, sp, cache))
 
 
-def test_uniform_translation_is_stale(built):
-    # the regression: a free-fall-style uniform shift of every active
-    # particle MUST trigger a rebuild (re-tiering rides on rebuilds)
+def test_uniform_translation_tiered_is_stale(built):
+    # the r4 regression lock: on a TIERED build a free-fall-style uniform
+    # shift MUST trigger a rebuild (re-tiering rides on rebuilds;
+    # logs/bisect_push_r4.json). The tiny scene builds at the full tier,
+    # so the tiered path is exercised by overriding the flag.
     st, sp, cache = built
+    cache = dict(cache)
+    cache["full_tier"] = jnp.bool_(False)
     shift = 1.1 * 0.5 * sp.particle_collision_margin
     moved = st.replace(x=st.x + jnp.array([0.0, -shift, 0.0]))
     assert bool(pbd.cache_stale(moved, sp, cache))
+
+
+def test_uniform_translation_full_tier_reuses_cache(built):
+    # r5 refinement: at the FULL prefix tier there is no smaller tier a
+    # deferred rebuild could miss, and window pair-coverage is exactly
+    # translation-invariant — so coherent free fall reuses one cache
+    # (rebuild-only was 1.45 of 2.86 ms/frame on the 4k drop).
+    st, sp, cache = built
+    assert bool(cache["full_tier"])
+    shift = 3.0 * sp.particle_collision_margin
+    moved = st.replace(x=st.x + jnp.array([0.0, -shift, 0.0]))
+    assert not bool(pbd.cache_stale(moved, sp, cache))
+    # ...but any RELATIVE motion past the margin still rebuilds
+    x = moved.x.at[0, 0].add(2.0 * sp.particle_collision_margin)
+    assert bool(pbd.cache_stale(moved.replace(x=x), sp, cache))
 
 
 def test_single_particle_motion_is_stale(built):
