@@ -39,6 +39,25 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _MLPParams(nn.Module):
+    """Own the params of an MLP (same tree paths as MLP/nn.Dense:
+    <name>/Dense_i/{kernel,bias}) without applying it, so the caller can
+    route them either through the plain jnp chain or the fused Pallas
+    edge-MLP kernel (ops/edge_mlp.py) with checkpoint compatibility."""
+
+    in_features: int
+    features: tuple
+
+    @nn.compact
+    def __call__(self):
+        out = []
+        fin = self.in_features
+        for i, f in enumerate(self.features):
+            out.append(_DenseParams(fin, f, name=f"Dense_{i}")())
+            fin = f
+        return out
+
+
 class MLP(nn.Module):
     features: tuple
     relu_last: bool = True
@@ -73,12 +92,17 @@ class PropNetDiffDen(nn.Module):
 
     @nn.compact
     def __call__(self, a_cur, s_cur, s_delta, nbr_idx, nbr_ok, particle_den,
-                 particle_mask=None):
+                 particle_mask=None, fused_edges=False,
+                 pallas_interpret=False):
         """
         a_cur: (B, N) attributes; s_cur/s_delta: (B, N, 3);
         nbr_idx: (B, N, K) int sender index per receiver;
         nbr_ok: (B, N, K) edge validity; particle_den: (B,);
         particle_mask: (B, N) validity of (padded) particles.
+        fused_edges: run the relation-encoder MLP in the fused Pallas
+        kernel (ops/edge_mlp.py) — ONLY valid when no gradient flows
+        through the relation branch (planner rollout step 0; the kernel
+        is fwd-only by design). Training keeps the XLA path.
         Returns predicted next positions (B, N, 3), float32.
         """
         nf = self.nf_effect
@@ -165,8 +189,8 @@ class PropNetDiffDen(nn.Module):
             offset,
             jnp.broadcast_to(den[:, :, None], (B, N, K, 1)),
         ], axis=-1)
-        relation_encode = MLP((nf, nf, nf), name="relation_encoder",
-                              **dense)(r_in)
+        rel_w = _MLPParams(r_in.shape[-1], (nf, nf, nf),
+                           name="relation_encoder")()
 
         # relation propagator restructured: Dense over
         # concat([relation_encode, eff_r, eff_s, den]) ==
@@ -178,12 +202,25 @@ class PropNetDiffDen(nn.Module):
         # the per-edge activation traffic (the planner-batch bottleneck).
         rk, rb = _DenseParams(3 * nf + 1, nf,
                               name="relation_propagator")()
-        rk = rk.astype(cdt)
-        w_re, w_er, w_es, w_den = (rk[:nf], rk[nf:2 * nf],
-                                   rk[2 * nf:3 * nf], rk[3 * nf:])
-        rel_base = (relation_encode @ w_re
-                    + den[:, :, None] * w_den[0]
-                    + rb.astype(cdt))                          # (B,N,K,nf)
+        rk_c = rk.astype(cdt)
+        w_re, w_er, w_es, w_den = (rk_c[:nf], rk_c[nf:2 * nf],
+                                   rk_c[2 * nf:3 * nf], rk_c[3 * nf:])
+        if fused_edges and not exact_hi:
+            # VMEM-resident relation MLP: streams r_in, writes only
+            # rel_base (saves ~1.7 GB/iter of XLA intermediates). The
+            # den term is added outside and fuses into the pstep reads.
+            from ..ops.edge_mlp import edge_mlp
+            flat = edge_mlp(r_in.reshape(B * N * K, -1), rel_w,
+                            rk[:nf], rb, interpret=pallas_interpret)
+            rel_base = (flat.reshape(B, N, K, nf)
+                        + (den[:, :, None] * w_den[0]).astype(cdt))
+        else:
+            h = r_in
+            for w, b in rel_w:                 # == MLP(relu_last=True)
+                h = nn.relu(h @ w.astype(cdt) + b.astype(cdt))
+            rel_base = (h @ w_re
+                        + den[:, :, None] * w_den[0]
+                        + rb.astype(cdt))                      # (B,N,K,nf)
         part_prop = nn.Dense(nf, name="particle_propagator", **dense)
 
         for _ in range(self.pstep):
@@ -247,7 +284,14 @@ class PropNetDiffDenModel:
         return idx, ok
 
     def predict_one_step(self, params, a_cur, s_cur, s_delta, particle_den,
-                         particle_nums=None, bf16: bool = False):
+                         particle_nums=None, bf16: bool = False,
+                         fused_edges: bool = False,
+                         pallas_interpret: bool = False):
+        """fused_edges routes the relation-encoder MLP through the Pallas
+        kernel (bf16 path only) — valid ONLY when no gradient flows
+        through s_cur (the planner's rollout step 0; its action gradient
+        reaches the GNN through s_delta -> particle encoder alone, and
+        jaxpr dot-counts confirm the relation backward is pruned)."""
         s = s_cur + s_delta
         nbr_idx, nbr_ok = self.build_graph(s, particle_nums)
         mask = None
@@ -256,4 +300,5 @@ class PropNetDiffDenModel:
                     < particle_nums[:, None]).astype(s.dtype)
         net = self.net_bf16 if bf16 else self.net
         return net.apply(params, a_cur, s_cur, s_delta, nbr_idx, nbr_ok,
-                         particle_den, mask)
+                         particle_den, mask, fused_edges=fused_edges,
+                         pallas_interpret=pallas_interpret)

@@ -38,14 +38,19 @@ def _gather_kernel(xt_ref, idx_ref, out_ref, *, chunks):
     # (1,128) vector to (F,128) ("Invalid input layout"), so the gather
     # runs on (8, LANES) tiles: indices arrive pre-tiled to 8 sublanes
     # and each 8-row slab of x is gathered separately.
-    xt = xt_ref[0]                       # (F, LANES) in VMEM
+    # Mosaic's dynamic_gather also requires index and data bitwidths to
+    # MATCH — bf16 data is upcast to f32 in VMEM for the gather (i32
+    # indices) and downcast on the write; exact for a pure permutation.
+    xt = xt_ref[0].astype(jnp.float32)   # (F, LANES) in VMEM
     idx8 = idx_ref[0]                    # (8, M) int32 (row-replicated)
     f = xt.shape[0]
+    dt = out_ref.dtype
     for j in range(chunks):
         sel = idx8[:, j * LANES:(j + 1) * LANES]      # (8, LANES)
         for f0 in range(0, f, 8):
             g = jnp.take_along_axis(xt[f0:f0 + 8], sel, axis=1)
-            out_ref[0, j * LANES:(j + 1) * LANES, f0:f0 + 8] = g.T
+            out_ref[0, j * LANES:(j + 1) * LANES,
+                    f0:f0 + 8] = g.T.astype(dt)
 
 
 def _scatter_kernel(idx_ref, g_ref, out_ref, *, n_pad):

@@ -92,6 +92,14 @@ class PlannerGD:
         # position selection is preserved — models/gnn_dyn.py). The
         # reference runs f32 torch; disable via mpc.gd.bf16: false.
         self.bf16 = bool(config["mpc"]["gd"].get("bf16", True))
+        # fused Pallas relation-MLP on the rollout's first step (no
+        # gradient flows through that branch — models/gnn_dyn.py).
+        # OPT-IN via DYNRES_FUSED_EDGES=1: measured end-to-end fwd+grad
+        # at the bench shape it LOST to the inline-one-hot XLA path
+        # (56.8 vs 22.9 ms — the kernel's 8->64 matmuls underuse the MXU
+        # and r_in still streams from HBM; PERFORMANCE.md round-5 notes).
+        import os
+        self._fused_edges = bool(os.environ.get("DYNRES_FUSED_EDGES"))
 
     # ------------------------------------------------------------ sampling
     def sample_action_sequences(self, init_act_seq, init_act_label_seq,
@@ -161,8 +169,11 @@ class PlannerGD:
         for t in range(act_seqs.shape[1]):
             s_delta = gen_s_delta(s, act_seqs[:, t, :], self._w2c,
                                   self.global_scale)
-            s = model_dy.predict_one_step(params, attr, s, s_delta, den,
-                                          bf16=self.bf16)
+            # fused relation kernel only at t=0 where s carries no
+            # gradient (later steps' s depends on predictions)
+            s = model_dy.predict_one_step(
+                params, attr, s, s_delta, den, bf16=self.bf16,
+                fused_edges=bool(self._fused_edges) and t == 0)
             preds.append(s)
         return jnp.stack(preds, axis=1)       # (S, n_act, Np, 3)
 
