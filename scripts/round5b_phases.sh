@@ -118,7 +118,7 @@ fi
 # ---- fresh-pairing A/B: regressor trained on labels made under the r4
 # GNN (r5_labeler = r4 bytes); deploy that same dynamics model
 env PYTHONPATH=/root/.axon_site:/root/repo timeout 4500 \
-  python scripts/eval_auto_res.py --scenes 3 --n-mpc 6 --fixed 20 90 \
+  python scripts/eval_auto_res.py --scenes 6 --n-mpc 6 --fixed 20 90 \
   --rgr-folder r5 --gnn-folder r5_labeler --seed 777 \
   --out results/r5/eval_auto_res_r5.json \
   > logs/eval_auto_res_r5.log 2>&1 || echo "A/B exited ($?)"
