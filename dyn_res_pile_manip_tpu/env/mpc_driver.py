@@ -122,13 +122,17 @@ def _write_progress(i, n_mpc, rewards, gt_costs, particle_den_seq):
         return
     import json
 
+    from ..utils.provenance import run_provenance
+
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"pushes_done": i + 1, "n_mpc": n_mpc,
                    "rewards": [float(r) for r in rewards[:i + 2]],
                    "gt_costs": [float(c) for c in gt_costs[:i + 2]],
                    "particle_den_seq": [int(d) for d in particle_den_seq],
-                   "partial": i + 1 < n_mpc}, f)
+                   "partial": i + 1 < n_mpc,
+                   # stamp even partial evidence (VERDICT r4 #1)
+                   "ckpts": run_provenance()}, f)
     os.replace(tmp, path)
 
 

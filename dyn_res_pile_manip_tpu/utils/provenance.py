@@ -23,6 +23,24 @@ def file_md5(path):
     return h.hexdigest()
 
 
+# run-level provenance: set once at model-load time so ANY writer in the
+# process (including the crash-safety per-push progress checkpoint in
+# env/mpc_driver.py, which is the only surviving evidence when a
+# deadline watcher kills a closed-loop run) can stamp the same md5s.
+_RUN_PROVENANCE = None
+
+
+def set_run_provenance(**paths):
+    global _RUN_PROVENANCE
+    _RUN_PROVENANCE = ckpt_provenance(**paths)
+    return _RUN_PROVENANCE
+
+
+def run_provenance():
+    """The process-wide ckpt stamp, or None if never set."""
+    return _RUN_PROVENANCE
+
+
 def ckpt_provenance(**paths):
     """Build a {name: {path, md5}} provenance dict for result JSONs.
 

@@ -92,6 +92,30 @@ def test_promote_idempotent_on_same_bytes(sandbox):
         sorted(a for a in before if a != "MANIFEST.tsv")
 
 
+def test_progress_writer_stamps_ckpts(tmp_path, monkeypatch):
+    """env/mpc_driver._write_progress must stamp run provenance so a
+    deadline-killed closed loop leaves self-describing partial evidence
+    (the only evidence that survives — VERDICT r4 #1)."""
+    import json
+
+    import numpy as np
+
+    from dyn_res_pile_manip_tpu.env.mpc_driver import _write_progress
+    from dyn_res_pile_manip_tpu.utils import provenance
+
+    ckpt = tmp_path / "model.ckpt"
+    ckpt.write_bytes(b"some-weights")
+    provenance.set_run_provenance(gnn=str(ckpt))
+    path = tmp_path / "progress.json"
+    monkeypatch.setenv("MPC_PROGRESS_JSON", str(path))
+    _write_progress(1, 5, np.arange(6.0), np.arange(6.0), [30, 28])
+    with open(path) as f:
+        prog = json.load(f)
+    assert prog["pushes_done"] == 2 and prog["partial"] is True
+    assert prog["ckpts"]["gnn"]["md5"] == provenance.file_md5(str(ckpt))
+    provenance._RUN_PROVENANCE = None
+
+
 def test_repo_provenance_audit_passes():
     """Repo invariant: every stamped result JSON maps to committed
     bytes (this is the VERDICT r4 #1 done-criterion, run as a test)."""

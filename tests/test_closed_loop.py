@@ -17,7 +17,7 @@ CKPT = os.path.join(os.path.dirname(__file__), os.pardir,
                     "assets", "demo_gnn.ckpt")
 
 
-def test_closed_loop_mpc_improves_reward():
+def test_closed_loop_mpc_improves_reward(tmp_path, monkeypatch):
     # the perception FPS random start consumes GLOBAL numpy RNG state
     # (reference fps_np does too, utils.py:451-466) — pin it so the test
     # is order-independent; without this the marginal 12-sample/20-iter
@@ -31,6 +31,13 @@ def test_closed_loop_mpc_improves_reward():
         "mpc": {"gd": {"sim_verify": 2, "robust_select": True}}})
     model = PropNetDiffDenModel(cfg)
     model.params = load_model_params(CKPT)
+
+    # drive the crash-safety per-push progress checkpoint incl. its ckpt
+    # stamp (env/mpc_driver._write_progress; VERDICT r4 #1) in this run
+    from dyn_res_pile_manip_tpu.utils.provenance import set_run_provenance
+    progress_path = str(tmp_path / "progress.json")
+    monkeypatch.setenv("MPC_PROGRESS_JSON", progress_path)
+    set_run_provenance(gnn=CKPT)
 
     env = FlexEnv(cfg)
     env.push_frame_total = 640   # one compiled push program
@@ -52,6 +59,12 @@ def test_closed_loop_mpc_improves_reward():
         action_seq_mpc_init=acts.transpose(1, 0, 2),
         action_label_seq_mpc_init=np.zeros(1),
         time_lim=float("inf"), auto_particle_r=False)
+
+    import json
+    with open(progress_path) as f:
+        prog = json.load(f)
+    assert prog["pushes_done"] == 3 and prog["partial"] is False
+    assert prog["ckpts"]["gnn"]["md5"], prog["ckpts"]
 
     rewards = out["rewards"]
     assert np.isfinite(rewards).all()

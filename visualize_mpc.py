@@ -35,6 +35,16 @@ def main():
         import jax
         model.init(jax.random.PRNGKey(0))
 
+    # register process-wide ckpt md5s so the per-push progress writer
+    # stamps partial evidence too (VERDICT r4 #1)
+    from dyn_res_pile_manip_tpu.utils.provenance import set_run_provenance
+    _res_cfg = config["mpc"].get("res_sel", {})
+    set_run_provenance(
+        gnn=ckpt,
+        res_rgr=os.path.join("data/res_rgr_model",
+                             str(_res_cfg.get("model_folder", "r2")),
+                             "net_best_dy.ckpt"))
+
     env = FlexEnv(config)
     screen = 720
     task = config["mpc"]["task"]
