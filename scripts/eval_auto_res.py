@@ -62,6 +62,12 @@ def main():
     ap.add_argument("--gnn-folder", default="r2")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--out", default="eval_auto_res.json")
+    ap.add_argument("--start", type=int, default=0,
+                    help="resume at this scene index, merging completed "
+                         "scenes from an existing --out JSON (per-scene "
+                         "seed/goal/init_pos depend only on the index, so "
+                         "a resumed run is identical to an uninterrupted "
+                         "one)")
     args = ap.parse_args()
 
     cfg = load_config(overrides={
@@ -85,7 +91,14 @@ def main():
 
     env = FlexEnv(cfg)
     results = []
-    for s in range(args.scenes):
+    if args.start > 0 and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)["results"]
+        results = [r for r in prior
+                   if not r.get("partial") and r["scene"] < args.start]
+        print("resumed with %d completed scenes from %s"
+              % (len(results), args.out), flush=True)
+    for s in range(args.start, args.scenes):
         seed = args.seed + 17 * s
         # held-out goal letter (labeling used random A-Z; evaluation fixes
         # the paper's headline letters)
