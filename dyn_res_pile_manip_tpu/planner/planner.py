@@ -458,9 +458,9 @@ class PlannerGD:
             if k[1:] == key[1:] and abs(k[0] - key[0]) <= 60:
                 self._iter_ms[key] = ms
                 return ms
-        def timed(n):
+        def timed(n, eps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run_fn(n))
+            jax.block_until_ready(run_fn(n, eps))
             return time.perf_counter() - t0
 
         # slope between two iteration counts cancels the per-dispatch
@@ -472,10 +472,18 @@ class PlannerGD:
         # one inflated t5 produced the round-3 6.4 ms/iter outlier
         # (BENCH_r03, a 4x error vs the idle-chip repeat value of
         # ~27 ms/iter). The min strips one-sided latency spikes.
-        timed(5)                                 # compile
-        t5 = min(timed(5) for _ in range(3))
-        timed(15)                                # compile
-        t15 = min(timed(15) for _ in range(3))
+        # Every timed dispatch gets a DIFFERENT input perturbation:
+        # byte-identical repeat dispatches through the axon tunnel can
+        # return ~instantly (result caching somewhere in the stack,
+        # PERFORMANCE.md), and one cached timing collapses or inflates
+        # the slope — the likely source of the r4 77k-vs-114k bench
+        # spread on identical code. The perturbation is applied outside
+        # jit to an existing operand, so shapes/compiled programs are
+        # unchanged.
+        timed(5, 0.0)                            # compile
+        t5 = min(timed(5, 1e-6 * i) for i in range(1, 4))
+        timed(15, 0.0)                           # compile
+        t15 = min(timed(15, 1e-6 * i) for i in range(1, 4))
         ms = (t15 - t5) * 1000.0 / 10
         if not ms > 0:                           # timing noise floor
             ms = t15 * 1000.0 / 15
@@ -532,9 +540,13 @@ class PlannerGD:
         lims_lo = jnp.asarray(lo, jnp.float32)
         lims_hi = jnp.asarray(hi, jnp.float32)
 
-        def run(n_iters):
+        def run(n_iters, eps=0.0):
+            # eps != 0 only for calibration dispatches: a per-call input
+            # perturbation (same shapes, new bytes) defeats the tunnel's
+            # repeat-dispatch result caching without recompiling
+            a0 = acts0 + jnp.float32(eps) if eps else acts0
             return self._optimize(model_dy, model_params, s_cur, s_param,
-                                  a_cur, acts0, opt_field, goal_coor,
+                                  a_cur, a0, opt_field, goal_coor,
                                   lims_lo, lims_hi, jnp.float32(lr),
                                   int(n_iters), int(n_batch),
                                   distractor_df_fn=distractor_df_fn,
