@@ -43,6 +43,7 @@ def backfill(data_dir, n_timestep=10):
 def collect(data_dir, out_path):
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     seen = {}
+    conflict_seen = set()   # (episode, canonical-hashes) already flagged
     lines = []
     if os.path.exists(out_path):
         with open(out_path) as f:
@@ -50,10 +51,16 @@ def collect(data_dir, out_path):
                 line = line.strip()
                 if not line:
                     continue
-                lines.append(line)
                 doc = json.loads(line)
-                if not doc.get("hash_conflict"):
+                if doc.get("hash_conflict"):
+                    key = (doc["episode"],
+                           json.dumps(doc["hashes"], sort_keys=True))
+                    if key in conflict_seen:   # drop duplicate conflict
+                        continue               # lines on rewrite
+                    conflict_seen.add(key)
+                else:
                     seen[doc["episode"]] = doc
+                lines.append(line)
     added = flagged = 0
     for mf in sorted(glob.glob(os.path.join(data_dir, "*/manifest.json"))):
         with open(mf) as f:
@@ -64,9 +71,16 @@ def collect(data_dir, out_path):
             seen[doc["episode"]] = doc
             added += 1
         elif prev["hashes"] != doc["hashes"]:
-            doc["hash_conflict"] = True
-            lines.append(json.dumps(doc, sort_keys=True))
-            flagged += 1
+            # append-once: the same divergent version must not re-flag
+            # on every watcher cycle (it appended 5 duplicate lines per
+            # episode during round 5d before this check)
+            key = (doc["episode"],
+                   json.dumps(doc["hashes"], sort_keys=True))
+            if key not in conflict_seen:
+                conflict_seen.add(key)
+                doc["hash_conflict"] = True
+                lines.append(json.dumps(doc, sort_keys=True))
+                flagged += 1
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
