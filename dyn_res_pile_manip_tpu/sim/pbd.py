@@ -412,6 +412,15 @@ W_TIERS = (3, 5, 9)  # coverage +-128 / +-256 / +-512 sorted slots
 _PAD_POS = 1.0e6  # halo padding position: far but finite (no inf-NaN paths)
 
 
+def _fulltier_translation_enabled() -> bool:
+    """Opt-in for the full-tier translation-aware staleness rule
+    (DYNRES_FULLTIER_TRANSLATION=1). Read at trace time, not import
+    time, so importing this module never touches a backend and tests
+    can monkeypatch the environment."""
+    import os
+    return os.environ.get("DYNRES_FULLTIER_TRANSLATION", "") == "1"
+
+
 def _window(arr: jnp.ndarray, fill, w_tiles: int = 3) -> jnp.ndarray:
     """(N, ...) -> (N//TILE, w_tiles*TILE, ...): the w_tiles tiles centered
     on each tile, edge tiles padded with ``fill``."""
@@ -869,13 +878,18 @@ def build_cache(state: SimState, params: SimParams,
 
     cache = {
         "x_build": state.x,
-        # full-tier flag for cache_stale: at the full prefix there is no
-        # smaller tier a deferred rebuild could miss, so staleness can be
-        # measured relative to the candidate set's mean shift (free-fall
-        # translation reuses one cache). Tiered builds keep the absolute
-        # rule — the r4 bisect showed deferring re-tiering costs 45% on
-        # the 19.3k push (logs/bisect_push_r4.json).
-        "full_tier": sel >= jnp.int32(len(a_tiers)),
+        # full-tier flag for cache_stale. OPT-IN (round-5d): the
+        # same-session bench A/B at round-5 end measured the full-tier
+        # translation rule costing 36% on the 19.3k push and 27% on the
+        # settle tail while gaining ~1% on its target 4k all-awake row —
+        # the r4 failure mode (deferred rebuilds defer re-tiering,
+        # logs/bisect_push_r4.json) recurs even restricted to full-tier
+        # builds, because a push's full-tier spike then LINGERS at the
+        # full prefix. Default is the absolute rule everywhere;
+        # DYNRES_FULLTIER_TRANSLATION=1 re-enables the study path.
+        "full_tier": (sel >= jnp.int32(len(a_tiers))
+                      if _fulltier_translation_enabled()
+                      else jnp.bool_(False)),
         "wj": _window(wi_solve, 0.0, wmax),
         "wi_solve": wi_solve,
         "s": s_sorted,
@@ -901,15 +915,16 @@ def cache_stale(state: SimState, params: SimParams, cache) -> jnp.ndarray:
     rebuilds also defers active-set re-tiering, so frames run on stale,
     too-large prefix tiers. See PERFORMANCE.md round-4 bisect notes.
 
-    Round-5 refinement: when the cache was built at the FULL prefix tier
-    (cache["full_tier"]) there is no smaller tier a deferred rebuild
-    could have selected, so the translation-subtracted displacement is
-    used instead — pair coverage of the sorted windows is exactly
-    translation-invariant, and a coherently free-falling pile (the 4k
-    all-awake bench row, where rebuild-only cost was 1.45 of
-    2.86 ms/frame) reuses one cache through the fall. Impact breaks the
-    coherence and rebuilds resume; tiered builds keep the absolute rule,
-    so the r4 push regression cannot recur."""
+    Round-5 refinement, now OPT-IN ONLY (DYNRES_FULLTIER_TRANSLATION=1):
+    when the cache was built at the FULL prefix tier (cache["full_tier"])
+    the translation-subtracted displacement is coverage-safe (no smaller
+    tier a deferred rebuild could have selected, and window pair
+    coverage is translation-invariant). But the round-5d same-session
+    bench A/B showed the restriction does NOT stop the r4 perf failure
+    mode: a push's occasional full-tier spike then LINGERS at the full
+    prefix (deferred rebuilds defer re-tiering), costing 36% on the
+    19.3k push and 27% on the settle tail for ~1% on the 4k all-awake
+    target row. Default: absolute rule everywhere."""
     x_build = cache["x_build"]
     act = state.active[:, None]
     dx = jnp.where(act, state.x - x_build, 0.0)

@@ -54,19 +54,41 @@ def test_uniform_translation_tiered_is_stale(built):
     assert bool(pbd.cache_stale(moved, sp, cache))
 
 
-def test_uniform_translation_full_tier_reuses_cache(built):
-    # r5 refinement: at the FULL prefix tier there is no smaller tier a
-    # deferred rebuild could miss, and window pair-coverage is exactly
-    # translation-invariant — so coherent free fall reuses one cache
-    # (rebuild-only was 1.45 of 2.86 ms/frame on the 4k drop).
+def test_full_tier_translation_rule_is_opt_in(built):
+    # round-5d bench A/B: the full-tier translation rule cost 36% on the
+    # 19.3k push (full-tier push spikes LINGER at the full prefix when
+    # rebuilds are deferred) for ~1% on its 4k target row — so the
+    # DEFAULT build must mark every cache as NOT full_tier (absolute
+    # staleness everywhere); DYNRES_FULLTIER_TRANSLATION=1 re-enables.
     st, sp, cache = built
-    assert bool(cache["full_tier"])
+    assert not bool(cache["full_tier"])
+    shift = 1.1 * 0.5 * sp.particle_collision_margin
+    moved = st.replace(x=st.x + jnp.array([0.0, -shift, 0.0]))
+    assert bool(pbd.cache_stale(moved, sp, cache))
+
+
+def test_uniform_translation_full_tier_reuses_cache(built):
+    # behavior of the opt-in rule itself (flag forced on): at the FULL
+    # prefix tier, window pair-coverage is translation-invariant, so
+    # coherent free fall reuses one cache...
+    st, sp, cache = built
+    cache = dict(cache)
+    cache["full_tier"] = jnp.bool_(True)
     shift = 3.0 * sp.particle_collision_margin
     moved = st.replace(x=st.x + jnp.array([0.0, -shift, 0.0]))
     assert not bool(pbd.cache_stale(moved, sp, cache))
     # ...but any RELATIVE motion past the margin still rebuilds
     x = moved.x.at[0, 0].add(2.0 * sp.particle_collision_margin)
     assert bool(pbd.cache_stale(moved.replace(x=x), sp, cache))
+
+
+def test_env_opt_in_restores_full_tier_flag(monkeypatch):
+    monkeypatch.setenv("DYNRES_FULLTIER_TRANSLATION", "1")
+    state, sp, _ = scene_lib.set_scene(
+        22, TINY_CARROTS, seed=0, capacity_multiple=256, group_multiple=32)
+    col = scene_lib.make_colliders_with_walls(GS)
+    _, cache = pbd.build_cache(state, sp, colliders=col)
+    assert bool(cache["full_tier"])   # tiny scene builds at the full tier
 
 
 def test_single_particle_motion_is_stale(built):
